@@ -1,0 +1,199 @@
+"""Point-in-time as-of join (north_rule requirement; absent in both the
+reference and Spark — SURVEY.md §2.3 "joins").
+
+``asof_join(left, right, ...)``: for every left row, attach the value
+columns of the *latest* right row with ``right_ts <= left_ts`` within
+the same key(s), optionally within a ``tolerance``. Zero temporal
+leakage by construction: no right row with ``ts' > ts`` can ever be
+matched.
+
+Two physical strategies:
+
+- ``union``  (default, scale path): tag and union both sides, then one
+  window pass ``last(value, ignorenulls=True)`` over
+  ``partitionBy(keys).orderBy(ts, side)`` — right rows sort *before*
+  left rows at equal ts, so matches are inclusive. One shuffle of
+  left+right, no row blowup, skew handled by AQE; this is the plan
+  that survives 100 TB.
+- ``broadcast`` (small dimension side): broadcast a range join
+  ``right_ts <= left_ts`` then keep the max-ts match per left row via
+  ``max_by``. Row blowup is bounded by the right side's per-key
+  cardinality — only for genuinely small right tables.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from recipys_spark.ingredients import Ingredients
+from recipys_spark.operators.base import Step
+from recipys_spark.operators.timeseries import parse_resolution
+
+_SIDE = "__asof_side"
+_MATCH_TS = "__asof_match_ts"
+
+
+def _tolerance_seconds(tolerance: Union[str, int, float, None]) -> Optional[float]:
+    if tolerance is None:
+        return None
+    if isinstance(tolerance, str):
+        return float(parse_resolution(tolerance))
+    return float(tolerance)
+
+
+def _ts_num(col):
+    """Orderable numeric form of a ts column (timestamp or numeric)."""
+    return col.cast("double")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str]],
+    left_ts: str,
+    right_ts: Optional[str] = None,
+    tolerance: Union[str, int, float, None] = None,
+    suffix: str = "",
+    strategy: str = "union",
+) -> DataFrame:
+    """Columns returned: all of ``left`` + right's value columns
+    (right minus keys minus ts), suffixed if ``suffix``."""
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    value_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    out_names = {c: f"{c}{suffix}" for c in value_cols}
+    tol = _tolerance_seconds(tolerance)
+
+    if strategy == "broadcast":
+        r = right.select(
+            *[F.col(k).alias(f"__r_{k}") for k in keys],
+            F.col(right_ts).alias("__r_ts"),
+            *[F.col(c) for c in value_cols],
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"__r_{k}"))
+        cond = cond & (_ts_num(F.col("__r_ts")) <= _ts_num(F.col(left_ts)))
+        if tol is not None:
+            cond = cond & (
+                _ts_num(F.col(left_ts)) - _ts_num(F.col("__r_ts")) <= F.lit(tol)
+            )
+        # latest matching right row per left row
+        joined = left.withColumn("__lid", F.monotonically_increasing_id()).join(
+            F.broadcast(r), cond, "left"
+        )
+        aggs = [
+            F.max_by(F.col(c), F.col("__r_ts")).alias(out_names[c]) for c in value_cols
+        ]
+        out = (
+            joined.groupBy("__lid", *[F.col(c) for c in left.columns])
+            .agg(*aggs)
+            .drop("__lid")
+        )
+        return out.select(*left.columns, *[out_names[c] for c in value_cols])
+
+    if strategy != "union":
+        raise ValueError(f"unknown asof strategy {strategy!r}")
+
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias(_SIDE),
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in keys
+        ],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_ts).alias("__r_ts"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias(_SIDE),
+    ).select(*l_tagged.columns)
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col(_SIDE))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        F.last("__r_ts", ignorenulls=True).over(w).alias(_MATCH_TS),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in value_cols
+        ],
+    ).where(F.col(_SIDE) == 1)
+
+    if tol is not None:
+        in_tol = (_ts_num(F.col("__ts")) - _ts_num(F.col(_MATCH_TS))) <= F.lit(tol)
+        vals = [
+            F.when(in_tol, F.col(f"__m_{c}")).alias(out_names[c]) for c in value_cols
+        ]
+    else:
+        vals = [F.col(f"__m_{c}").alias(out_names[c]) for c in value_cols]
+    return filled.select(*left.columns, *vals)
+
+
+class StepAsofJoin(Step):
+    """Recipe-step wrapper: as-of join a feature table onto the recipe
+    data using the recipe's group role as keys and its (first temporal)
+    sequence role as the left timestamp."""
+
+    def __init__(
+        self,
+        right: DataFrame,
+        right_ts: str,
+        tolerance: Union[str, int, float, None] = None,
+        suffix: str = "",
+        strategy: str = "union",
+        role: str = "predictor",
+    ) -> None:
+        from recipys_spark.selector import Selector
+
+        super().__init__(Selector("asof right-side"))
+        self.right = right
+        self.right_ts = right_ts
+        self.tolerance = tolerance
+        self.suffix = suffix
+        self.strategy = strategy
+        self.role = role
+        self.desc = "Point-in-time as-of join"
+
+    def new_column_roles(self) -> dict[str, str]:
+        keys = set(self.group_columns) | {self.right_ts}
+        return {
+            f"{c}{self.suffix}": self.role
+            for c in self.right.columns
+            if c not in keys
+        }
+
+    def do_transform(self, ingredients: Ingredients):
+        if not self.group_columns:
+            raise ValueError("StepAsofJoin requires a group role column")
+        dtypes = ingredients.dtypes
+        ts_cols = [
+            c
+            for c in self.sequence_columns
+            if dtypes[c] in ("timestamp", "timestamp_ntz")
+        ]
+        if not ts_cols:
+            raise ValueError("StepAsofJoin requires a timestamp sequence column")
+        return asof_join(
+            ingredients.df,
+            self.right,
+            on=self.group_columns,
+            left_ts=ts_cols[0],
+            right_ts=self.right_ts,
+            tolerance=self.tolerance,
+            suffix=self.suffix,
+            strategy=self.strategy,
+        )

@@ -1,0 +1,158 @@
+"""Fitted categorical encoders, Spark-native.
+
+Cover the encoder surface the reference reaches through sklearn
+(reference tests/test_steps.py:351–404): OrdinalEncoder, OneHotEncoder,
+LabelEncoder/LabelBinarizer (same math on the outcome role),
+MissingIndicator. Parity pins (SURVEY.md §7): categories are the
+distinct values sorted lexicographically (sklearn's convention); the
+one-hot column naming follows the reference's ``{Name}_{i}`` 1-indexed
+pattern (reference step.py:433, 457–459).
+
+Fit = one distinct-aggregate job; the category maps are tiny and live
+in the plan as literal CASE/array expressions (broadcast by value) —
+no join, no shuffle at transform time.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import functions as F
+
+from recipys_spark.ingredients import Ingredients
+from recipys_spark.operators.base import Step
+from recipys_spark.selector import Selector, all_predictors
+
+
+class StepOrdinalEncode(Step):
+    """category → its index in the lexicographically sorted distinct
+    set; unknown categories at transform time → null."""
+
+    _uses_groups = False
+    _uses_sequence = False
+
+    def __init__(self, sel: Optional[Selector] = None) -> None:
+        super().__init__(sel if sel is not None else all_predictors())
+        self.categories: dict[str, list] = {}
+        self.desc = "Ordinal-encode categories"
+
+    def do_fit(self, ingredients: Ingredients) -> None:
+        df = ingredients.df
+        aggs = [F.sort_array(F.collect_set(F.col(c))).alias(c) for c in self.columns]
+        row = df.agg(*aggs).first().asDict()
+        self.categories = {c: list(row[c]) for c in self.columns}
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        exprs = {}
+        for c in self.columns:
+            cats = self.categories[c]
+            mapping = F.map_from_arrays(
+                F.array(*[F.lit(v) for v in cats]),
+                F.array(*[F.lit(float(i)) for i in range(len(cats))]),
+            )
+            exprs[c] = mapping.getItem(F.col(c))
+        return df.select(
+            *[exprs[c].alias(c) if c in exprs else F.col(c) for c in df.columns]
+        )
+
+    def get_state(self) -> dict:
+        return {"columns": self.columns, "categories": self.categories}
+
+    def set_state(self, state: dict) -> None:
+        self.columns = state["columns"]
+        self.categories = state["categories"]
+        self._trained = True
+
+
+class StepOneHotEncode(Step):
+    """One 0/1 column per fitted category, named
+    ``OneHotEncoder_{i}`` 1-indexed across all selected columns
+    (reference naming, step.py:457–459); ``in_place=False`` keeps the
+    source columns, matching StepSklearn's column-emitting mode."""
+
+    _uses_groups = False
+    _uses_sequence = False
+
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        in_place: bool = False,
+        role: str = "predictor",
+        prefix: str = "OneHotEncoder",
+    ) -> None:
+        super().__init__(sel if sel is not None else all_predictors())
+        self.in_place = in_place
+        self.role = role
+        self.prefix = prefix
+        self.categories: dict[str, list] = {}
+        self.desc = "One-hot encode categories"
+
+    def do_fit(self, ingredients: Ingredients) -> None:
+        df = ingredients.df
+        aggs = [F.sort_array(F.collect_set(F.col(c))).alias(c) for c in self.columns]
+        row = df.agg(*aggs).first().asDict()
+        self.categories = {c: list(row[c]) for c in self.columns}
+
+    def _out_names(self) -> list[tuple[str, object, str]]:
+        out = []
+        i = 1
+        for c in self.columns:
+            for cat in self.categories[c]:
+                out.append((c, cat, f"{self.prefix}_{i}"))
+                i += 1
+        return out
+
+    def new_column_roles(self) -> dict[str, str]:
+        return {name: self.role for _, _, name in self._out_names()}
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        onehots = [
+            (F.col(c) == F.lit(cat)).cast("int").alias(name)
+            for c, cat, name in self._out_names()
+        ]
+        keep = [
+            F.col(c)
+            for c in df.columns
+            if not self.in_place or c not in self.columns
+        ]
+        return df.select(*keep, *onehots)
+
+    def get_state(self) -> dict:
+        return {"columns": self.columns, "categories": self.categories}
+
+    def set_state(self, state: dict) -> None:
+        self.columns = state["columns"]
+        self.categories = state["categories"]
+        self._trained = True
+
+
+class StepMissingIndicator(Step):
+    """Add ``c_missing`` 0/1 columns (sklearn MissingIndicator with
+    features='all' semantics, stateless)."""
+
+    _uses_groups = False
+    _uses_sequence = False
+
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        suffix: str = "missing",
+        role: str = "predictor",
+    ) -> None:
+        super().__init__(sel if sel is not None else all_predictors())
+        self.suffix = suffix
+        self.role = role
+        self.desc = "Missing indicators"
+
+    def new_column_roles(self) -> dict[str, str]:
+        return {f"{c}_{self.suffix}": self.role for c in self.columns}
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        inds = [
+            F.isnull(F.col(c)).cast("int").alias(f"{c}_{self.suffix}")
+            for c in self.columns
+        ]
+        return df.select("*", *inds)

@@ -1,0 +1,108 @@
+"""StepHistorical: per-group expanding (running) accumulators.
+
+Reference semantics (reference recipys/step.py:274–363): for each
+selected column ``c`` add ``c_{suffix}`` holding the accumulator over
+the group's history *including the current row*; suffix defaults to the
+accumulator name. Nulls are skipped (polars cum_max / pandas
+``skipna=True``); VAR is sample variance (ddof=1, the polars
+``rolling_var`` / pandas ``expanding().var()`` default); COUNT counts
+non-nulls; MEDIAN is the exact interpolated median. FIRST/LAST raise
+TypeError (reference step.py:336–337, 354–355).
+
+Reference quirk normalized (SURVEY.md §2.4): the reference mutates
+``self.suffix`` on every transform so prep→bake emits ``c__max``; here
+the suffix is computed per call.
+
+Spark mapping: one expression per (column, accumulator) over the shared
+expanding row frame — all steps in a recipe reuse the identical
+``Window.partitionBy(groups).orderBy(sequence)`` spec, so Catalyst
+fuses them into a single shuffle + sort. For conversations long enough
+to break a single window task, ``skew_bucket_size`` switches the
+decomposable accumulators (MAX/MIN/MEAN/COUNT/VAR) to a salted
+two-phase plan (see functions/skew.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import functions as F
+
+from recipys_spark.ingredients import Ingredients
+from recipys_spark.operators.base import Accumulator, Step
+from recipys_spark.selector import Selector, all_numeric_predictors
+from recipys_spark.functions.windows import expanding
+
+
+def historical_expr(col: str, fun: Accumulator, frame) -> "F.Column":
+    """The single-window expression for one accumulator."""
+    c = F.col(col)
+    # cum_max/cum_min semantics (polars cum_*, pandas cummax/cummin):
+    # nulls are skipped for the running value but the OUTPUT at a
+    # null-input row is null; the expanding() family (mean/median/
+    # count/var) instead emits the aggregate of prior non-nulls there.
+    if fun is Accumulator.MAX:
+        return F.when(c.isNotNull(), F.max(c).over(frame))
+    if fun is Accumulator.MIN:
+        return F.when(c.isNotNull(), F.min(c).over(frame))
+    if fun is Accumulator.MEAN:
+        return F.avg(c).over(frame)
+    if fun is Accumulator.MEDIAN:
+        # exact interpolated median, matching pandas expanding().median()
+        return F.percentile(c, F.lit(0.5)).over(frame)
+    if fun is Accumulator.COUNT:
+        return F.count(c).over(frame)
+    if fun is Accumulator.VAR:
+        return F.var_samp(c).over(frame)
+    raise TypeError(f"Expected a historical Accumulator, got {fun!r}")
+
+
+class StepHistorical(Step):
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        fun: Accumulator = Accumulator.MAX,
+        suffix: Optional[str] = None,
+        role: str = "predictor",
+        skew_bucket_size: Optional[int] = None,
+    ) -> None:
+        super().__init__(sel if sel is not None else all_numeric_predictors())
+        if not isinstance(fun, Accumulator):
+            raise TypeError(f"Expected Accumulator enum for function, got {type(fun)}")
+        if fun in (Accumulator.FIRST, Accumulator.LAST):
+            raise TypeError(f"FIRST/LAST are resampling-only policies, got {fun}")
+        self.fun = fun
+        self.suffix = suffix if suffix is not None else fun.value
+        self.role = role
+        self.skew_bucket_size = skew_bucket_size
+        self.desc = f"Create historical {fun}"
+
+    def new_column_roles(self) -> dict[str, str]:
+        return {f"{c}_{self.suffix}": self.role for c in self.columns}
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        groups = self.group_columns
+        seq = self.sequence_columns
+        if not seq:
+            raise ValueError(
+                "StepHistorical requires a sequence role column for deterministic ordering."
+            )
+        if self.skew_bucket_size and self.fun is not Accumulator.MEDIAN:
+            from recipys_spark.functions.skew import salted_expanding
+
+            return salted_expanding(
+                df,
+                cols=self.columns,
+                groups=groups,
+                sequence=seq[0],
+                fun=self.fun,
+                suffix=self.suffix,
+                bucket_size=self.skew_bucket_size,
+            )
+        frame = expanding(groups, seq)
+        exprs = [
+            historical_expr(c, self.fun, frame).alias(f"{c}_{self.suffix}")
+            for c in self.columns
+        ]
+        return df.select("*", *exprs)

@@ -1,0 +1,189 @@
+"""Group-scoped imputation steps.
+
+Reference semantics (reference recipys/step.py:121–260): fill nulls in
+the selected columns with a constant ``value`` or a ``strategy`` in
+{forward, backward, mean, min, max, zero, one}, optionally bounded by
+``limit`` consecutive fills; the fill never crosses a group boundary
+(leading nulls in a group stay null — reference test_steps.py:158–168).
+
+Reference quirk normalized (SURVEY.md §2.4): the pandas branch replaces
+the whole frame with only the selected columns (step.py:154); the
+polars branch — fill in place, keep all columns — is canonical here.
+
+Spark mapping: pure window expressions.
+- forward: ``last(c, ignorenulls=True)`` over the expanding frame
+- backward: ``first(c, ignorenulls=True)`` over current→end frame
+- mean/min/max: per-group scalar aggregate over an unordered group frame
+- limit=k: a bounded frame alone would miscount null runs, so the
+  null-run length is derived from the row number of the last (next)
+  non-null row — two windows, still no Python in the hot path
+  (SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import functions as F
+
+from recipys_spark.ingredients import Ingredients
+from recipys_spark.operators.base import Step
+from recipys_spark.selector import Selector, all_predictors
+from recipys_spark.functions.windows import (
+    conv_window,
+    expanding,
+    following,
+    group_frame,
+)
+
+_STRATEGIES = ("forward", "backward", "mean", "min", "max", "zero", "one")
+
+
+def ffill_expr(col: str, groups, seq) -> "F.Column":
+    return F.coalesce(
+        F.col(col), F.last(col, ignorenulls=True).over(expanding(groups, seq))
+    )
+
+
+def bfill_expr(col: str, groups, seq) -> "F.Column":
+    return F.coalesce(
+        F.col(col), F.first(col, ignorenulls=True).over(following(groups, seq))
+    )
+
+
+class StepImputeFill(Step):
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        value=None,
+        strategy: Optional[str] = None,
+        limit: Optional[int] = None,
+    ) -> None:
+        super().__init__(sel if sel is not None else all_predictors())
+        if (value is None) == (strategy is None):
+            raise ValueError("Provide exactly one of value= or strategy=.")
+        if strategy is not None and strategy not in _STRATEGIES:
+            raise ValueError(f"strategy must be one of {_STRATEGIES}, got {strategy!r}")
+        if limit is not None and strategy not in ("forward", "backward"):
+            raise ValueError("limit is only meaningful for forward/backward strategies")
+        self.value = value
+        self.strategy = strategy
+        self.limit = limit
+        self.desc = f"Impute with {strategy if strategy else value}"
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        groups, seq = self.group_columns, self.sequence_columns
+        out = {}
+        for c in self.columns:
+            col = F.col(c)
+            if self.strategy is None:
+                filled = F.coalesce(col, F.lit(self.value))
+            elif self.strategy == "zero":
+                filled = F.coalesce(col, F.lit(0).cast(df.schema[c].dataType))
+            elif self.strategy == "one":
+                filled = F.coalesce(col, F.lit(1).cast(df.schema[c].dataType))
+            elif self.strategy == "mean":
+                filled = F.coalesce(col, F.avg(col).over(group_frame(groups)))
+            elif self.strategy == "min":
+                filled = F.coalesce(col, F.min(col).over(group_frame(groups)))
+            elif self.strategy == "max":
+                filled = F.coalesce(col, F.max(col).over(group_frame(groups)))
+            elif self.strategy == "forward":
+                filled = self._directional(c, groups, seq, forward=True)
+            else:  # backward
+                filled = self._directional(c, groups, seq, forward=False)
+            out[c] = filled.alias(c)
+        return df.select(
+            *[out[c] if c in out else F.col(c) for c in df.columns]
+        )
+
+    def _directional(self, c: str, groups, seq, forward: bool) -> "F.Column":
+        if not seq:
+            raise ValueError("forward/backward fill requires a sequence role column")
+        col = F.col(c)
+        if forward:
+            base = F.last(c, ignorenulls=True).over(expanding(groups, seq))
+        else:
+            base = F.first(c, ignorenulls=True).over(following(groups, seq))
+        if self.limit is None:
+            return F.coalesce(col, base)
+        # Null-run guard: only fill if the donor row is within `limit`
+        # rows. rn = position within group; donor_rn = rn of the
+        # nearest non-null row in the fill direction.
+        w = conv_window(groups, seq)
+        rn = F.row_number().over(w)
+        marked = F.when(col.isNotNull(), rn)
+        if forward:
+            donor_rn = F.last(marked, ignorenulls=True).over(expanding(groups, seq))
+            dist = rn - donor_rn
+        else:
+            donor_rn = F.first(marked, ignorenulls=True).over(following(groups, seq))
+            dist = donor_rn - rn
+        return F.coalesce(col, F.when(dist <= F.lit(self.limit), base))
+
+
+class StepImputeFastZeroFill(Step):
+    """Ungrouped fill-with-zero (reference step.py:158–171). Under
+    Spark the 'fast path' is just ``na.fill`` — kept for API parity."""
+
+    _uses_groups = False
+    _uses_sequence = False
+
+    def __init__(self, sel: Optional[Selector] = None) -> None:
+        super().__init__(sel if sel is not None else all_predictors())
+        self.desc = "Impute quickly with 0"
+
+    def do_transform(self, ingredients: Ingredients):
+        return ingredients.df.na.fill(0, subset=self.columns)
+
+
+class StepImputeFastForwardFill(Step):
+    """Grouped forward fill (reference step.py:174–199). The reference's
+    cumsum-mask trick exists because pandas grouped fillna was slow; a
+    Spark window makes it unnecessary — same semantics as
+    ``StepImputeFill(strategy='forward')``."""
+
+    def __init__(self, sel: Optional[Selector] = None) -> None:
+        super().__init__(sel if sel is not None else all_predictors())
+        self.desc = "Impute with fast ffill"
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        groups, seq = self.group_columns, self.sequence_columns
+        if not seq:
+            raise ValueError("forward fill requires a sequence role column")
+        return df.select(
+            *[
+                ffill_expr(c, groups, seq).alias(c) if c in self.columns else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+
+class StepImputeModel(Step):
+    """Impute with a user-supplied pretrained model fn
+    (reference step.py:244–260). The model receives one pandas frame
+    per group batch — ``(pdf: pd.DataFrame, group_cols: list[str]) ->
+    pd.DataFrame`` — via Arrow-batched ``applyInPandas`` (the sanctioned
+    vectorized escape hatch; no per-row Python)."""
+
+    def __init__(self, sel: Optional[Selector] = None, model: Optional[Callable] = None) -> None:
+        super().__init__(sel if sel is not None else all_predictors())
+        if model is None:
+            raise ValueError("StepImputeModel requires a model callable")
+        self.model = model
+        self.desc = "Impute with pretrained imputation model"
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        groups = self.group_columns
+        if not groups:
+            raise ValueError("StepImputeModel requires a group role column")
+        model, group_cols = self.model, list(groups)
+        schema = df.schema
+
+        def apply_model(pdf):
+            return model(pdf, group_cols)
+
+        return df.groupBy(*groups).applyInPandas(apply_model, schema=schema)

@@ -1,0 +1,331 @@
+"""Fitted scaling / discretization steps, Spark-native.
+
+These re-implement the sklearn transformers the reference exercises
+through ``StepSklearn`` (reference tests/test_steps.py:239–440;
+``StepScale`` itself wraps sklearn's StandardScaler, reference
+recipys/step.py:581–605) as first-class steps: ``fit`` is one small
+Spark aggregation job whose result is collected to the driver and
+frozen; ``transform`` is a pure column expression using that state —
+the prep/bake leakage boundary in action.
+
+Parity pins (SURVEY.md §7): StandardScaler uses population variance
+(ddof=0) → ``stddev_pop``; RobustScaler centers on the exact median and
+scales by IQR (exact ``percentile``); fitting is explicitly *ungrouped*
+(whole-table), matching the reference's ``self._group = False``
+(step.py:391).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import functions as F
+
+from recipys_spark.ingredients import Ingredients
+from recipys_spark.operators.base import Step
+from recipys_spark.selector import Selector, all_numeric_predictors
+
+
+class _FittedStep(Step):
+    """Base for steps whose state is a dict[col, dict[param, value]]."""
+
+    _uses_groups = False
+    _uses_sequence = False
+
+    def __init__(self, sel: Optional[Selector] = None) -> None:
+        super().__init__(sel if sel is not None else all_numeric_predictors())
+        self.state: dict[str, dict] = {}
+
+    def get_state(self) -> dict:
+        return {"columns": self.columns, "state": self.state}
+
+    def set_state(self, state: dict) -> None:
+        self.columns = state["columns"]
+        self.state = state["state"]
+        self._trained = True
+
+    def _replace(self, ingredients: Ingredients, exprs: dict[str, "F.Column"]):
+        df = ingredients.df
+        return df.select(
+            *[
+                exprs[c].alias(c) if c in exprs else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+
+class StepScale(_FittedStep):
+    """Standard scaling: (c - mean) / std_pop (reference step.py:581–605)."""
+
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        with_mean: bool = True,
+        with_std: bool = True,
+    ) -> None:
+        super().__init__(sel)
+        self.with_mean = with_mean
+        self.with_std = with_std
+        self.desc = "Scale with mean and std"
+
+    def do_fit(self, ingredients: Ingredients) -> None:
+        aggs = []
+        for c in self.columns:
+            aggs += [F.avg(c).alias(f"{c}__mean"), F.stddev_pop(c).alias(f"{c}__std")]
+        row = ingredients.df.agg(*aggs).first().asDict()
+        self.state = {
+            c: {"mean": row[f"{c}__mean"], "std": row[f"{c}__std"]}
+            for c in self.columns
+        }
+
+    def do_transform(self, ingredients: Ingredients):
+        exprs = {}
+        for c in self.columns:
+            st = self.state[c]
+            e = F.col(c).cast("double")
+            if self.with_mean and st["mean"] is not None:
+                e = e - F.lit(st["mean"])
+            # sklearn: zero/None std scales by 1
+            if self.with_std and st["std"]:
+                e = e / F.lit(st["std"])
+            exprs[c] = e
+        return self._replace(ingredients, exprs)
+
+
+class StepMinMaxScale(_FittedStep):
+    """(c - min) / (max - min), sklearn MinMaxScaler semantics."""
+
+    def do_fit(self, ingredients: Ingredients) -> None:
+        aggs = []
+        for c in self.columns:
+            aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+        row = ingredients.df.agg(*aggs).first().asDict()
+        self.state = {
+            c: {"min": row[f"{c}__min"], "max": row[f"{c}__max"]}
+            for c in self.columns
+        }
+
+    def do_transform(self, ingredients: Ingredients):
+        exprs = {}
+        for c in self.columns:
+            st = self.state[c]
+            rng = (st["max"] - st["min"]) if st["max"] is not None else None
+            e = F.col(c).cast("double")
+            if rng:
+                exprs[c] = (e - F.lit(st["min"])) / F.lit(rng)
+            else:
+                # constant column: sklearn maps to 0 offsetted by min
+                exprs[c] = e - F.lit(st["min"] or 0.0)
+        return self._replace(ingredients, exprs)
+
+
+class StepMaxAbsScale(_FittedStep):
+    """c / max(|c|), sklearn MaxAbsScaler semantics."""
+
+    def do_fit(self, ingredients: Ingredients) -> None:
+        aggs = [F.max(F.abs(F.col(c))).alias(c) for c in self.columns]
+        row = ingredients.df.agg(*aggs).first().asDict()
+        self.state = {c: {"maxabs": row[c]} for c in self.columns}
+
+    def do_transform(self, ingredients: Ingredients):
+        exprs = {}
+        for c in self.columns:
+            m = self.state[c]["maxabs"]
+            e = F.col(c).cast("double")
+            exprs[c] = e / F.lit(m) if m else e
+        return self._replace(ingredients, exprs)
+
+
+class StepRobustScale(_FittedStep):
+    """(c - median) / IQR, sklearn RobustScaler defaults (q 25/75)."""
+
+    def do_fit(self, ingredients: Ingredients) -> None:
+        aggs = [
+            F.percentile(F.col(c), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(c)
+            for c in self.columns
+        ]
+        row = ingredients.df.agg(*aggs).first().asDict()
+        self.state = {
+            c: {"q25": row[c][0], "median": row[c][1], "q75": row[c][2]}
+            for c in self.columns
+        }
+
+    def do_transform(self, ingredients: Ingredients):
+        exprs = {}
+        for c in self.columns:
+            st = self.state[c]
+            iqr = (
+                st["q75"] - st["q25"]
+                if st["q75"] is not None and st["q25"] is not None
+                else None
+            )
+            e = F.col(c).cast("double") - F.lit(st["median"])
+            exprs[c] = e / F.lit(iqr) if iqr else e
+        return self._replace(ingredients, exprs)
+
+
+class StepBinarize(Step):
+    """(c > threshold) → 1/0, stateless (sklearn Binarizer)."""
+
+    _uses_groups = False
+    _uses_sequence = False
+
+    def __init__(self, sel: Optional[Selector] = None, threshold: float = 0.0) -> None:
+        super().__init__(sel if sel is not None else all_numeric_predictors())
+        self.threshold = threshold
+        self.desc = f"Binarize at {threshold}"
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        return df.select(
+            *[
+                (F.col(c) > F.lit(self.threshold)).cast("int").alias(c)
+                if c in self.columns
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+
+class StepNormalize(Step):
+    """Row-wise Lp normalization over the selected columns, stateless
+    (sklearn Normalizer; norm ∈ l1, l2, max)."""
+
+    _uses_groups = False
+    _uses_sequence = False
+
+    def __init__(self, sel: Optional[Selector] = None, norm: str = "l2") -> None:
+        super().__init__(sel if sel is not None else all_numeric_predictors())
+        if norm not in ("l1", "l2", "max"):
+            raise ValueError(f"norm must be l1|l2|max, got {norm!r}")
+        self.norm = norm
+        self.desc = f"Normalize rows ({norm})"
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        cols = [F.col(c).cast("double") for c in self.columns]
+        if self.norm == "l2":
+            mag = F.sqrt(sum((c * c for c in cols), F.lit(0.0)))
+        elif self.norm == "l1":
+            mag = sum((F.abs(c) for c in cols), F.lit(0.0))
+        else:
+            mag = F.greatest(*[F.abs(c) for c in cols]) if len(cols) > 1 else F.abs(cols[0])
+        safe = F.when(mag == 0, F.lit(1.0)).otherwise(mag)
+        sel = set(self.columns)
+        return df.select(
+            *[
+                (F.col(c).cast("double") / safe).alias(c) if c in sel else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+
+class StepKBinsDiscretize(_FittedStep):
+    """Bucket into k bins (sklearn KBinsDiscretizer, ordinal encoding).
+
+    strategy='uniform': equal-width bins from fitted min/max;
+    strategy='quantile': bin edges at fitted quantiles (exact
+    ``percentile`` — matches numpy linear interpolation)."""
+
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        n_bins: int = 5,
+        strategy: str = "uniform",
+    ) -> None:
+        super().__init__(sel)
+        if strategy not in ("uniform", "quantile"):
+            raise ValueError("strategy must be uniform|quantile")
+        if n_bins < 2:
+            raise ValueError("n_bins must be >= 2")
+        self.n_bins = n_bins
+        self.strategy = strategy
+        self.desc = f"KBins({n_bins}, {strategy})"
+
+    def do_fit(self, ingredients: Ingredients) -> None:
+        df = ingredients.df
+        if self.strategy == "uniform":
+            aggs = []
+            for c in self.columns:
+                aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+            row = df.agg(*aggs).first().asDict()
+            self.state = {}
+            for c in self.columns:
+                lo, hi = row[f"{c}__min"], row[f"{c}__max"]
+                edges = [
+                    lo + (hi - lo) * i / self.n_bins for i in range(self.n_bins + 1)
+                ]
+                self.state[c] = {"edges": edges}
+        else:
+            probs = [i / self.n_bins for i in range(self.n_bins + 1)]
+            aggs = [
+                F.percentile(
+                    F.col(c), F.array(*[F.lit(p) for p in probs])
+                ).alias(c)
+                for c in self.columns
+            ]
+            row = df.agg(*aggs).first().asDict()
+            self.state = {c: {"edges": list(row[c])} for c in self.columns}
+
+    def do_transform(self, ingredients: Ingredients):
+        exprs = {}
+        for c in self.columns:
+            edges = self.state[c]["edges"]
+            # interior edges only; values == upper edge fall in last bin
+            e = F.lit(0)
+            for i, edge in enumerate(edges[1:-1]):
+                e = e + (F.col(c) >= F.lit(edge)).cast("int")
+            exprs[c] = F.when(F.col(c).isNull(), F.lit(None)).otherwise(e).cast("double")
+        return self._replace(ingredients, exprs)
+
+
+class StepQuantileTransform(_FittedStep):
+    """Map values to their (interpolated) quantile rank in [0, 1]
+    (sklearn QuantileTransformer, uniform output).
+
+    Fit: an ``n_quantiles`` reference grid of exact percentiles.
+    Transform: piecewise-linear interpolation between grid points,
+    expressed as a CASE chain (grid is small, stays JVM-side)."""
+
+    def __init__(self, sel: Optional[Selector] = None, n_quantiles: int = 100) -> None:
+        super().__init__(sel)
+        self.n_quantiles = n_quantiles
+        self.desc = f"QuantileTransform({n_quantiles})"
+
+    def do_fit(self, ingredients: Ingredients) -> None:
+        n = ingredients.df.count()
+        k = min(self.n_quantiles, max(2, n))
+        probs = [i / (k - 1) for i in range(k)]
+        aggs = [
+            F.percentile(F.col(c), F.array(*[F.lit(p) for p in probs])).alias(c)
+            for c in self.columns
+        ]
+        row = ingredients.df.agg(*aggs).first().asDict()
+        self.state = {c: {"grid": list(row[c]), "probs": probs} for c in self.columns}
+
+    def do_transform(self, ingredients: Ingredients):
+        exprs = {}
+        for c in self.columns:
+            grid = self.state[c]["grid"]
+            probs = self.state[c]["probs"]
+            x = F.col(c).cast("double")
+            e = F.lit(1.0)
+            # walk segments from the top so earlier WHENs catch lower values
+            expr = F.lit(1.0)
+            for i in range(len(grid) - 1):
+                lo, hi = grid[i], grid[i + 1]
+                plo, phi = probs[i], probs[i + 1]
+                if hi == lo:
+                    seg = F.lit(phi)
+                else:
+                    seg = F.lit(plo) + (x - F.lit(lo)) / F.lit(hi - lo) * F.lit(phi - plo)
+                if i == 0:
+                    expr = F.when(x <= F.lit(grid[0]), F.lit(0.0)).when(
+                        x <= F.lit(hi), seg
+                    )
+                else:
+                    expr = expr.when(x <= F.lit(hi), seg)
+            expr = expr.otherwise(F.lit(1.0))
+            exprs[c] = F.when(x.isNull(), F.lit(None)).otherwise(expr)
+        return self._replace(ingredients, exprs)

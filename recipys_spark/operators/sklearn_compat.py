@@ -1,0 +1,153 @@
+"""Generic sklearn escape hatch (reference recipys/step.py:366–474).
+
+``StepSklearn`` wraps any sklearn transformer: fit on driver-collected
+data (the reference fits on the *whole* table ungrouped, step.py:391 —
+at scale pass ``fit_sample_rows`` to fit on a deterministic sample
+instead), broadcast the fitted object, transform executor-side via one
+Arrow-batched ``mapInPandas`` (no per-row Python).
+
+sklearn is NOT a dependency of this engine: the native steps in
+scale.py / encode.py cover the transformers the reference tests use.
+This module import-gates sklearn and is exercised only when available.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Optional
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from recipys_spark.ingredients import Ingredients
+from recipys_spark.operators.base import Step
+from recipys_spark.selector import Selector, all_predictors
+
+try:  # pragma: no cover - environment-dependent
+    import sklearn  # noqa: F401
+
+    HAS_SKLEARN = True
+except ImportError:  # pragma: no cover
+    HAS_SKLEARN = False
+
+
+class StepSklearn(Step):
+    _uses_groups = False
+    _uses_sequence = False
+
+    def __init__(
+        self,
+        sklearn_transformer,
+        sel: Optional[Selector] = None,
+        columnwise: bool = False,
+        in_place: bool = True,
+        role: str = "predictor",
+        fit_sample_rows: Optional[int] = None,
+    ) -> None:
+        if not HAS_SKLEARN:
+            raise ImportError("StepSklearn requires scikit-learn, which is not installed")
+        super().__init__(sel if sel is not None else all_predictors())
+        self.transformer = sklearn_transformer
+        self.columnwise = columnwise
+        self.in_place = in_place
+        self.role = role
+        self.fit_sample_rows = fit_sample_rows
+        self.fitted = None  # transformer or dict[col, transformer]
+        self.desc = f"Use sklearn transformer {type(sklearn_transformer).__name__}"
+
+    def do_fit(self, ingredients: Ingredients) -> None:
+        df = ingredients.df.select(*self.columns)
+        if self.fit_sample_rows is not None:
+            df = df.limit(self.fit_sample_rows)
+        pdf = df.toPandas()
+        if self.columnwise:
+            self.fitted = {}
+            for c in self.columns:
+                t = copy.deepcopy(self.transformer)
+                # LabelEncoder-style transformers take 1-D input
+                try:
+                    t.fit(pdf[[c]])
+                except ValueError:
+                    t.fit(pdf[c])
+                self.fitted[c] = t
+        else:
+            self.fitted = copy.deepcopy(self.transformer).fit(pdf)
+
+    def _out_names(self, n_out: int) -> list[str]:
+        name = type(self.transformer).__name__
+        if self.columnwise:
+            return [f"{name}_{c}" for c in self.columns]
+        return [f"{name}_{i}" for i in range(1, n_out + 1)]
+
+    def do_transform(self, ingredients: Ingredients):
+        import numpy as np
+        import pandas as pd
+
+        df = ingredients.df
+        fitted = self.fitted
+        columns = list(self.columns)
+        columnwise = self.columnwise
+        in_place = self.in_place
+
+        # probe output arity on an empty frame is unreliable; use a 1-row sample
+        sample = df.select(*columns).limit(1).toPandas()
+        if columnwise:
+            outs = {c: np.asarray(_transform_one(fitted[c], sample, c)) for c in columns}
+            n_out_per_col = {c: outs[c].shape[1] if outs[c].ndim > 1 else 1 for c in columns}
+            if in_place and any(n != 1 for n in n_out_per_col.values()):
+                raise ValueError("Transformer changes dimensionality; use in_place=False")
+        else:
+            out = np.asarray(fitted.transform(sample))
+            if hasattr(out, "toarray"):
+                raise TypeError("Sparse sklearn output is not supported")
+            n_out = out.shape[1] if out.ndim > 1 else 1
+            if in_place and n_out != len(columns):
+                raise ValueError("Transformer changes dimensionality; use in_place=False")
+
+        if in_place:
+            out_fields = [T.StructField(c, T.DoubleType()) for c in columns]
+            keep = [c for c in df.columns if c not in columns]
+        else:
+            if columnwise:
+                names = self._out_names(0)
+            else:
+                names = self._out_names(n_out)
+            out_fields = [T.StructField(n, T.DoubleType()) for n in names]
+            keep = list(df.columns)
+        schema = T.StructType(
+            [f for f in df.schema.fields if f.name in keep] + out_fields
+        )
+        out_names = [f.name for f in out_fields]
+
+        def transform_batches(it):
+            for pdf in it:
+                if columnwise:
+                    mats = [
+                        np.asarray(_transform_one(fitted[c], pdf, c)).reshape(len(pdf), -1)
+                        for c in columns
+                    ]
+                    mat = np.hstack(mats) if mats else np.empty((len(pdf), 0))
+                else:
+                    mat = np.asarray(fitted.transform(pdf[columns])).reshape(len(pdf), -1)
+                res = pdf[keep].copy() if keep else pd.DataFrame(index=pdf.index)
+                for i, n in enumerate(out_names):
+                    res[n] = mat[:, i]
+                yield res[[*keep, *out_names]]
+
+        return df.mapInPandas(transform_batches, schema=schema)
+
+    def new_column_roles(self) -> dict[str, str]:
+        if self.in_place:
+            return {}
+        name = type(self.transformer).__name__
+        # names resolved lazily at transform; register the columnwise set
+        if self.columnwise:
+            return {f"{name}_{c}": self.role for c in self.columns}
+        return {}
+
+
+def _transform_one(t, pdf, col):
+    try:
+        return t.transform(pdf[[col]])
+    except ValueError:
+        return t.transform(pdf[col])

@@ -1,0 +1,175 @@
+"""Recipe: role assignment + ordered steps + prep/bake lifecycle.
+
+Mirrors the reference driver (reference recipys/recipe.py:16–202):
+``prep()`` fit-transforms every untrained step in order (train path);
+``bake()`` re-applies the frozen fitted transforms (apply path), with
+the reference's fit-on-bake fallback for untrained steps
+(recipe.py:170–178). The invariant prep(X) ≡ bake(X) on identical data
+(reference test_recipe.py:17–21) holds because fit jobs are
+deterministic aggregations.
+
+Divergences from the reference, by design:
+- steps compile to ONE lazy Spark plan; nothing executes until an
+  action (or an explicit per-stage checkpoint).
+- ``_apply_group`` (reference recipe.py:129–134) is a vestigial no-op
+  there and dropped here; grouping is the steps' Window specs.
+- ``cache()`` (reference recipe.py:198–202) generalizes to
+  ``save_state()/load_state()``: a JSON manifest of fitted state, the
+  basis for resumable fit/bake (see plans/lineage.py).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame
+
+from recipys_spark.ingredients import Ingredients
+from recipys_spark.operators.base import Step
+
+
+def _as_list(x) -> list[str]:
+    if x is None:
+        return []
+    if isinstance(x, str):
+        return [x]
+    return list(x)
+
+
+class Recipe:
+    def __init__(
+        self,
+        data: Union[DataFrame, Ingredients],
+        outcomes: Union[str, Sequence[str], None] = None,
+        predictors: Union[str, Sequence[str], None] = None,
+        groups: Union[str, Sequence[str], None] = None,
+        sequences: Union[str, Sequence[str], None] = None,
+    ) -> None:
+        if isinstance(data, Ingredients):
+            ingredients = data
+        else:
+            ingredients = Ingredients(data)
+        self.data = ingredients
+        self.original_columns = list(ingredients.columns)
+        self.steps: list[Step] = []
+        for col in _as_list(outcomes):
+            self.data = self.data.update_role(col, "outcome")
+        for col in _as_list(predictors):
+            self.data = self.data.update_role(col, "predictor")
+        for col in _as_list(groups):
+            self.data = self.data.update_role(col, "group")
+        for col in _as_list(sequences):
+            self.data = self.data.update_role(col, "sequence")
+
+    # -- role management (reference recipe.py:62–100) --------------------
+
+    def add_roles(self, columns: Union[str, Sequence[str]], new_role: str) -> "Recipe":
+        for col in _as_list(columns):
+            self.data = self.data.add_role(col, new_role)
+        return self
+
+    def update_roles(
+        self,
+        columns: Union[str, Sequence[str]],
+        new_role: str,
+        old_role: Optional[str] = None,
+    ) -> "Recipe":
+        for col in _as_list(columns):
+            self.data = self.data.update_role(col, new_role, old_role)
+        return self
+
+    # -- pipeline ---------------------------------------------------------
+
+    def add_step(self, step: Step) -> "Recipe":
+        if not isinstance(step, Step):
+            raise TypeError(f"add_step expects a Step, got {type(step).__name__}")
+        self.steps.append(step)
+        return self
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def _check_data(self, data: Optional[Union[DataFrame, Ingredients]]) -> Ingredients:
+        """Input must carry exactly the original column set
+        (reference recipe.py:114–127)."""
+        if data is None:
+            return self.data
+        if isinstance(data, Ingredients):
+            ing = Ingredients(data.df, self.data.roles, check_roles=False)
+        else:
+            ing = Ingredients(data, self.data.roles, check_roles=False)
+        if list(ing.columns) != self.original_columns:
+            raise ValueError(
+                "Columns of data argument differ from the recipe data: "
+                f"expected {self.original_columns}, got {list(ing.columns)}"
+            )
+        return ing
+
+    def _apply_fit_transform(self, ingredients: Ingredients, refit: bool) -> Ingredients:
+        for step in self.steps:
+            if refit or not step.trained:
+                ingredients = step.fit_transform(ingredients)
+            else:
+                ingredients = step.transform(ingredients)
+        return ingredients
+
+    def prep(
+        self,
+        data: Optional[Union[DataFrame, Ingredients]] = None,
+        refit: bool = False,
+    ) -> DataFrame:
+        """Fit + transform (train path). Returns the lazy result frame."""
+        ingredients = self._check_data(data)
+        result = self._apply_fit_transform(ingredients, refit=refit)
+        # record post-prep roles so bake wraps inputs consistently
+        self.data = Ingredients(self.data.df, result.roles, check_roles=False)
+        return result.df
+
+    def bake(self, data: Optional[Union[DataFrame, Ingredients]] = None) -> DataFrame:
+        """Apply with frozen state (inference path). Untrained steps are
+        fitted on the fly, matching the reference quirk
+        (recipe.py:170–178; empty-recipe bake works)."""
+        ingredients = self._check_data(data)
+        result = self._apply_fit_transform(ingredients, refit=False)
+        return result.df
+
+    # -- fitted-state persistence (reference Recipe.cache analog) ---------
+
+    def save_state(self, path: str) -> None:
+        state = {
+            "original_columns": self.original_columns,
+            "roles": self.data.roles,
+            "steps": [
+                {
+                    "type": type(s).__name__,
+                    "trained": s.trained,
+                    "columns": s.columns,
+                    "group_columns": s.group_columns,
+                    "sequence_columns": s.sequence_columns,
+                    "state": s.get_state(),
+                }
+                for s in self.steps
+            ],
+        }
+        with open(path, "w") as f:
+            json.dump(state, f, indent=1, default=str)
+
+    def load_state(self, path: str) -> "Recipe":
+        """Restore fitted state into a recipe with the same step list."""
+        with open(path) as f:
+            state = json.load(f)
+        if len(state["steps"]) != len(self.steps):
+            raise ValueError("step count mismatch between recipe and saved state")
+        for step, st in zip(self.steps, state["steps"]):
+            if type(step).__name__ != st["type"]:
+                raise ValueError(f"step type mismatch: {type(step).__name__} vs {st['type']}")
+            step.columns = st["columns"]
+            step.group_columns = st["group_columns"]
+            step.sequence_columns = st["sequence_columns"]
+            if st["state"]:
+                step.set_state(st["state"])
+            step._trained = st["trained"]
+        return self
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Recipe(roles={self.data.roles}, steps={self.steps})"

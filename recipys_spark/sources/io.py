@@ -1,0 +1,161 @@
+"""Session builder, table IO, and the synthetic transcript generator.
+
+The canonical input (BASELINE.json input_hint) is an Iceberg table of
+multi-turn conversation transcripts::
+
+    conv_id:string, turn_idx:int32, role:string, text:string,
+    tool:string, ts:timestamp
+
+Iceberg jars are not bundled in this sandbox, so ``read_table`` /
+``write_table`` use the Iceberg catalog when configured and fall back
+to parquet paths otherwise — the engine is storage-agnostic
+(everything downstream is plain DataFrame ops).
+
+``synthetic_transcripts`` generates the table fully distributed —
+``spark.range`` → hash-derived conversation lengths → ``sequence`` +
+``explode`` for turns; no driver-side loops, deterministic for a given
+(n_convs, seed): the same inputs give bit-identical tables at any
+parallelism, which is what the two-cluster-size scaling protocol needs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def get_spark(
+    parallelism: int = 32,
+    app_name: str = "recipys_spark",
+    shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[dict] = None,
+) -> SparkSession:
+    """Local session with the engine's canonical config: UTC, AQE on,
+    Arrow on, shuffle partitions sized to the core count."""
+    if shuffle_partitions is None:
+        shuffle_partitions = max(parallelism, 8)
+    b = (
+        SparkSession.builder.master(f"local[{parallelism}]")
+        .appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
+    """Iceberg table name (contains a catalog dot and no slash) or a
+    parquet path."""
+    if "/" not in name_or_path and "." in name_or_path:
+        return spark.read.format("iceberg").load(name_or_path)
+    return spark.read.parquet(name_or_path)
+
+
+def write_table(
+    df: DataFrame,
+    name_or_path: str,
+    mode: str = "overwrite",
+    partition_by: Optional[list[str]] = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if "/" not in name_or_path and "." in name_or_path:
+        writer.format("iceberg").saveAsTable(name_or_path)
+    else:
+        writer.parquet(name_or_path)
+
+
+def synthetic_transcripts(
+    spark: SparkSession,
+    n_convs: int = 1000,
+    seed: int = 42,
+    skew: bool = True,
+    skew_factor: int = 100,
+    with_features: bool = False,
+) -> DataFrame:
+    """Deterministic synthetic transcript table (FIXTURES.md F1).
+
+    - ragged lengths 4–11 turns; with ``skew=True`` conversation 0 gets
+      ``skew_factor ×`` the median length (exercises salting);
+    - ``role`` cycles user/assistant/tool with occasional nulls
+      (ffill/bfill targets);
+    - ``tool`` non-null only on tool turns;
+    - ``ts`` = per-conv start + cumulative seeded gaps, with occasional
+      gaps > 30 min (sessionization targets);
+    - ``with_features=True`` adds ``n_chars`` and a nullable ``value``
+      double (accumulator targets).
+    """
+    s = F.lit(seed)
+    convs = spark.range(n_convs).select(
+        F.format_string("c%06d", F.col("id")).alias("conv_id"),
+        F.col("id").alias("_cid"),
+    )
+    length = (F.lit(4) + F.pmod(F.xxhash64(F.col("_cid"), s), F.lit(8))).cast("int")
+    if skew:
+        length = F.when(F.col("_cid") == 0, F.lit(8 * skew_factor)).otherwise(length)
+    turns = convs.select(
+        "conv_id",
+        "_cid",
+        F.explode(F.sequence(F.lit(0), length - 1)).alias("turn_idx"),
+    ).select("conv_id", "_cid", F.col("turn_idx").cast("int").alias("turn_idx"))
+
+    h = F.xxhash64(F.col("_cid"), F.col("turn_idx"), s)
+    role = F.when(F.pmod(h, F.lit(13)) == 0, F.lit(None).cast("string")).otherwise(
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.pmod(F.col("turn_idx"), F.lit(3)) + 1).cast("int"),
+        )
+    )
+    tool = F.when(
+        role == "tool",
+        F.element_at(
+            F.array(F.lit("search"), F.lit("exec"), F.lit("browse")),
+            (F.pmod(h, F.lit(3)) + 1).cast("int"),
+        ),
+    )
+    token = F.substring(F.sha1(h.cast("string")), 1, 12)
+    text = F.format_string(
+        "turn %d of %s: %s", F.col("turn_idx"), F.col("conv_id"), token
+    )
+    # inter-turn gap: 10..310 s, ~1/17 turns jump > 30 min
+    gap = F.lit(10) + F.pmod(h, F.lit(300))
+    gap = F.when(F.pmod(h, F.lit(17)) == 0, gap + F.lit(2400)).otherwise(gap)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts = F.timestamp_seconds(
+        F.lit(1_700_000_000) + F.col("_cid") * 3600 + F.sum(gap).over(w)
+    )
+
+    out = turns.select(
+        "conv_id",
+        "turn_idx",
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        ts.alias("ts"),
+    )
+    if with_features:
+        hv = F.xxhash64(F.col("conv_id"), F.col("turn_idx"), s + 1)
+        value = F.when(
+            F.pmod(hv, F.lit(7)) == 0, F.lit(None).cast("double")
+        ).otherwise((F.pmod(hv, F.lit(10000)) / 100.0 - 50.0))
+        out = out.select(
+            "*", F.length("text").alias("n_chars"), value.alias("value")
+        )
+    return out

@@ -1,0 +1,93 @@
+"""StepHistorical parity vs pandas expanding oracles (reference
+tests/test_steps.py:127–154 re-expressed; oracle = the reference's own
+pandas-backend semantics: groupby(id).expanding() with skipna)."""
+
+import numpy as np
+import pytest
+
+from recipys_spark import Accumulator, Recipe
+from recipys_spark.operators import StepHistorical
+from recipys_spark.selector import all_numeric_predictors
+
+from tests.conftest import collect_sorted, make_example_pdf
+
+
+def pandas_expanding_oracle(pdf, col, fun):
+    g = pdf.groupby("id")[col]
+    if fun is Accumulator.MAX:
+        return g.cummax()
+    if fun is Accumulator.MIN:
+        return g.cummin()
+    if fun is Accumulator.MEAN:
+        return g.expanding().mean().reset_index(drop=True)
+    if fun is Accumulator.MEDIAN:
+        return g.expanding().median().reset_index(drop=True)
+    if fun is Accumulator.COUNT:
+        return g.expanding().count().reset_index(drop=True)
+    if fun is Accumulator.VAR:
+        return g.expanding().var().reset_index(drop=True)
+    raise AssertionError(fun)
+
+
+@pytest.mark.parametrize(
+    "fun",
+    [
+        Accumulator.MAX,
+        Accumulator.MIN,
+        Accumulator.MEAN,
+        Accumulator.MEDIAN,
+        Accumulator.COUNT,
+        Accumulator.VAR,
+    ],
+)
+@pytest.mark.parametrize("with_nan", [False, True])
+def test_historical_matches_pandas(spark, fun, with_nan):
+    pdf = make_example_pdf(nan_x1=with_nan)
+    rec = Recipe(
+        spark.createDataFrame(pdf),
+        outcomes="y",
+        predictors=["x1", "x2"],
+        groups="id",
+        sequences="time",
+    )
+    rec.add_step(StepHistorical(sel=all_numeric_predictors(), fun=fun))
+    got = collect_sorted(rec.prep())
+    for col in ["x1", "x2"]:
+        expected = pandas_expanding_oracle(pdf, col, fun).to_numpy(dtype="float64")
+        actual = got[f"{col}_{fun.value}"].to_numpy(dtype="float64")
+        np.testing.assert_allclose(actual, expected, equal_nan=True, err_msg=f"{col} {fun}")
+
+
+def test_historical_last_row_equals_group_agg(spark, example_recipe):
+    """Reference invariant: at a group's last row the expanding max/min
+    equal the whole-group aggregate (reference test_steps.py:137–154)."""
+    example_recipe.add_step(StepHistorical(fun=Accumulator.MAX, suffix="max"))
+    out = collect_sorted(example_recipe.prep())
+    for gid, grp in out.groupby("id"):
+        assert grp["x1_max"].iloc[-1] == pytest.approx(grp["x1"].max())
+
+
+def test_historical_rejects_first_last():
+    with pytest.raises(TypeError):
+        StepHistorical(fun=Accumulator.LAST)
+    with pytest.raises(TypeError):
+        StepHistorical(fun="max")
+
+
+def test_historical_suffix_stable_across_prep_bake(spark, example_recipe):
+    """Normalized reference quirk (step.py:311): suffix must not mutate,
+    prep then bake must emit the same column names."""
+    example_recipe.add_step(StepHistorical(fun=Accumulator.MEAN))
+    prepped = example_recipe.prep()
+    baked = example_recipe.bake()
+    assert "x1_mean" in prepped.columns
+    assert prepped.columns == baked.columns
+
+
+def test_prep_equals_bake(spark, example_recipe):
+    """prep(X) ≡ bake(X) on the same data (reference test_recipe.py:17–21)."""
+    example_recipe.add_step(StepHistorical(fun=Accumulator.VAR))
+    a = collect_sorted(example_recipe.prep())
+    b = collect_sorted(example_recipe.bake())
+    for c in a.columns:
+        np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy())

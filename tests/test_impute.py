@@ -1,0 +1,149 @@
+"""StepImputeFill parity vs the reference's expected-value semantics
+(reference tests/test_steps.py:158–203): fills are group-scoped, never
+cross a group boundary; leading nulls in a group stay null."""
+
+import numpy as np
+import pytest
+
+from recipys_spark import Recipe
+from recipys_spark.operators import (
+    StepImputeFastForwardFill,
+    StepImputeFastZeroFill,
+    StepImputeFill,
+)
+from recipys_spark.selector import all_of
+
+from tests.conftest import collect_sorted, make_example_pdf
+
+
+def _recipe(spark, pdf):
+    return Recipe(
+        spark.createDataFrame(pdf),
+        outcomes="y",
+        predictors=["x1", "x2", "x3", "x4"],
+        groups="id",
+        sequences="time",
+    )
+
+
+@pytest.fixture
+def pdf_nan():
+    return make_example_pdf(nan_x1=True, nan_x2=True)
+
+
+def test_ffill_matches_pandas(spark, pdf_nan):
+    rec = _recipe(spark, pdf_nan).add_step(
+        StepImputeFill(sel=all_of(["x1", "x2"]), strategy="forward")
+    )
+    got = collect_sorted(rec.prep())
+    for c in ["x1", "x2"]:
+        expected = pdf_nan.groupby("id")[c].ffill().to_numpy()
+        np.testing.assert_allclose(got[c].to_numpy(), expected, equal_nan=True)
+    # leading nulls stay null: row 7 is the second row of group 2 but
+    # x1 row 7 is NaN with row 6 present — check group boundary via x2:
+    # x2 row 6 (first of group 2) is NaN and must stay NaN after ffill
+    assert np.isnan(got["x2"].to_numpy()[6])
+
+
+def test_bfill_matches_pandas(spark, pdf_nan):
+    rec = _recipe(spark, pdf_nan).add_step(
+        StepImputeFill(sel=all_of(["x1", "x2"]), strategy="backward")
+    )
+    got = collect_sorted(rec.prep())
+    for c in ["x1", "x2"]:
+        expected = pdf_nan.groupby("id")[c].bfill().to_numpy()
+        np.testing.assert_allclose(got[c].to_numpy(), expected, equal_nan=True)
+
+
+def test_ffill_with_limit(spark, pdf_nan):
+    rec = _recipe(spark, pdf_nan).add_step(
+        StepImputeFill(sel=all_of(["x1"]), strategy="forward", limit=1)
+    )
+    got = collect_sorted(rec.prep())
+    expected = pdf_nan.groupby("id")["x1"].ffill(limit=1).to_numpy()
+    np.testing.assert_allclose(got["x1"].to_numpy(), expected, equal_nan=True)
+
+
+def test_bfill_with_limit(spark, pdf_nan):
+    rec = _recipe(spark, pdf_nan).add_step(
+        StepImputeFill(sel=all_of(["x1"]), strategy="backward", limit=1)
+    )
+    got = collect_sorted(rec.prep())
+    expected = pdf_nan.groupby("id")["x1"].bfill(limit=1).to_numpy()
+    np.testing.assert_allclose(got["x1"].to_numpy(), expected, equal_nan=True)
+
+
+def test_constant_fill(spark, pdf_nan):
+    rec = _recipe(spark, pdf_nan).add_step(StepImputeFill(sel=all_of(["x1"]), value=0.0))
+    got = collect_sorted(rec.prep())
+    expected = pdf_nan["x1"].fillna(0.0).to_numpy()
+    np.testing.assert_allclose(got["x1"].to_numpy(), expected)
+
+
+@pytest.mark.parametrize("strategy,oracle", [
+    ("mean", "mean"),
+    ("min", "min"),
+    ("max", "max"),
+])
+def test_group_stat_fill(spark, pdf_nan, strategy, oracle):
+    rec = _recipe(spark, pdf_nan).add_step(
+        StepImputeFill(sel=all_of(["x1"]), strategy=strategy)
+    )
+    got = collect_sorted(rec.prep())
+    stat = pdf_nan.groupby("id")["x1"].transform(oracle)
+    expected = pdf_nan["x1"].fillna(stat).to_numpy()
+    np.testing.assert_allclose(got["x1"].to_numpy(), expected, equal_nan=True)
+
+
+def test_zero_one_fill(spark, pdf_nan):
+    rec = _recipe(spark, pdf_nan).add_step(
+        StepImputeFill(sel=all_of(["x2"]), strategy="one")
+    )
+    got = collect_sorted(rec.prep())
+    expected = pdf_nan["x2"].fillna(1.0).to_numpy()
+    np.testing.assert_allclose(got["x2"].to_numpy(), expected)
+
+
+def test_fast_zero_fill(spark, pdf_nan):
+    rec = _recipe(spark, pdf_nan).add_step(StepImputeFastZeroFill(sel=all_of(["x1", "x2"])))
+    got = collect_sorted(rec.prep())
+    for c in ["x1", "x2"]:
+        np.testing.assert_allclose(
+            got[c].to_numpy(), pdf_nan[c].fillna(0).to_numpy()
+        )
+
+
+def test_fast_forward_fill_equals_strategy_forward(spark, pdf_nan):
+    a = collect_sorted(
+        _recipe(spark, pdf_nan)
+        .add_step(StepImputeFastForwardFill(sel=all_of(["x1", "x2"])))
+        .prep()
+    )
+    b = collect_sorted(
+        _recipe(spark, pdf_nan)
+        .add_step(StepImputeFill(sel=all_of(["x1", "x2"]), strategy="forward"))
+        .prep()
+    )
+    for c in ["x1", "x2"]:
+        np.testing.assert_allclose(a[c].to_numpy(), b[c].to_numpy(), equal_nan=True)
+
+
+def test_impute_keeps_all_columns(spark, pdf_nan):
+    """Normalized reference quirk (step.py:154): non-selected columns
+    must survive the fill."""
+    rec = _recipe(spark, pdf_nan).add_step(
+        StepImputeFill(sel=all_of(["x1"]), strategy="forward")
+    )
+    out = rec.prep()
+    assert out.columns == list(pdf_nan.columns)
+
+
+def test_invalid_args():
+    with pytest.raises(ValueError):
+        StepImputeFill(value=1, strategy="forward")
+    with pytest.raises(ValueError):
+        StepImputeFill()
+    with pytest.raises(ValueError):
+        StepImputeFill(strategy="sideways")
+    with pytest.raises(ValueError):
+        StepImputeFill(value=1, limit=2)
