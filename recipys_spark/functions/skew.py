@@ -111,7 +111,7 @@ def salted_expanding(
         if not field.startswith("__tot_"):
             continue
         name = field.replace("__tot_", "__pre_")
-        kind = field.split("_", 3)[2]
+        kind = field[len("__tot_"):].split("_", 1)[0]
         if kind == "max":
             prefix_exprs.append(F.max(field).over(prior).alias(name))
         elif kind == "min":

@@ -51,7 +51,7 @@ class StepOrdinalEncode(Step):
                 F.array(*[F.lit(v) for v in cats]),
                 F.array(*[F.lit(float(i)) for i in range(len(cats))]),
             )
-            exprs[c] = mapping.getItem(F.col(c))
+            exprs[c] = mapping[F.col(c)]
         return df.select(
             *[exprs[c].alias(c) if c in exprs else F.col(c) for c in df.columns]
         )

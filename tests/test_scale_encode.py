@@ -1,0 +1,212 @@
+"""Fitted scaler/encoder parity (reference tests/test_steps.py:239–440
+re-expressed with numpy oracles; sklearn is intentionally NOT a
+dependency — oracles are hand-computed with the pinned conventions:
+population std, lexicographic categories, linear-interpolated
+quantiles)."""
+
+import numpy as np
+import pytest
+
+from recipys_spark import Recipe
+from recipys_spark.operators import (
+    StepBinarize,
+    StepKBinsDiscretize,
+    StepMaxAbsScale,
+    StepMinMaxScale,
+    StepMissingIndicator,
+    StepNormalize,
+    StepOneHotEncode,
+    StepOrdinalEncode,
+    StepQuantileTransform,
+    StepRobustScale,
+    StepScale,
+)
+from recipys_spark.selector import all_of
+
+from tests.conftest import collect_sorted, make_example_pdf
+
+
+def _recipe(spark, pdf=None, **kw):
+    pdf = pdf if pdf is not None else make_example_pdf(**kw)
+    return pdf, Recipe(
+        spark.createDataFrame(pdf),
+        outcomes="y",
+        predictors=["x1", "x2", "x3", "x4"],
+        groups="id",
+        sequences="time",
+    )
+
+
+def test_standard_scale(spark):
+    pdf, rec = _recipe(spark)
+    rec.add_step(StepScale(sel=all_of(["x1", "x2"])))
+    got = collect_sorted(rec.prep())
+    for c in ["x1", "x2"]:
+        expected = (pdf[c] - pdf[c].mean()) / pdf[c].std(ddof=0)
+        np.testing.assert_allclose(got[c].to_numpy(), expected.to_numpy())
+    assert abs(got["x1"].mean()) < 1e-9
+    assert abs(got["x1"].std(ddof=0) - 1) < 1e-9
+
+
+def test_standard_scale_flags(spark):
+    pdf, rec = _recipe(spark)
+    rec.add_step(StepScale(sel=all_of(["x1"]), with_mean=False))
+    got = collect_sorted(rec.prep())
+    expected = pdf["x1"] / pdf["x1"].std(ddof=0)
+    np.testing.assert_allclose(got["x1"].to_numpy(), expected.to_numpy())
+
+
+def test_scale_preserves_nulls(spark):
+    """Reference restores nulls sklearn turned into NaN (step.py:601–602)."""
+    pdf, rec = _recipe(spark, make_example_pdf(nan_x1=True))
+    rec.add_step(StepScale(sel=all_of(["x1"])))
+    got = collect_sorted(rec.prep())
+    assert np.isnan(got["x1"].to_numpy()[[1, 2, 4, 7]]).all()
+
+
+def test_minmax(spark):
+    pdf, rec = _recipe(spark)
+    rec.add_step(StepMinMaxScale(sel=all_of(["x1"])))
+    got = collect_sorted(rec.prep())
+    expected = (pdf["x1"] - pdf["x1"].min()) / (pdf["x1"].max() - pdf["x1"].min())
+    np.testing.assert_allclose(got["x1"].to_numpy(), expected.to_numpy())
+    assert got["x1"].min() == 0.0 and got["x1"].max() == 1.0
+
+
+def test_maxabs(spark):
+    pdf, rec = _recipe(spark)
+    rec.add_step(StepMaxAbsScale(sel=all_of(["x1"])))
+    got = collect_sorted(rec.prep())
+    expected = pdf["x1"] / pdf["x1"].abs().max()
+    np.testing.assert_allclose(got["x1"].to_numpy(), expected.to_numpy())
+
+
+def test_robust(spark):
+    pdf, rec = _recipe(spark)
+    rec.add_step(StepRobustScale(sel=all_of(["x1"])))
+    got = collect_sorted(rec.prep())
+    q25, med, q75 = np.percentile(pdf["x1"], [25, 50, 75])
+    expected = (pdf["x1"] - med) / (q75 - q25)
+    np.testing.assert_allclose(got["x1"].to_numpy(), expected.to_numpy())
+
+
+def test_binarize(spark):
+    pdf, rec = _recipe(spark)
+    rec.add_step(StepBinarize(sel=all_of(["x1"]), threshold=10.0))
+    got = collect_sorted(rec.prep())
+    expected = (pdf["x1"] > 10.0).astype(int)
+    np.testing.assert_array_equal(got["x1"].to_numpy(), expected.to_numpy())
+
+
+def test_normalize_l2(spark):
+    pdf, rec = _recipe(spark)
+    rec.add_step(StepNormalize(sel=all_of(["x1", "x2"])))
+    got = collect_sorted(rec.prep())
+    mag = np.sqrt(pdf["x1"] ** 2 + pdf["x2"] ** 2)
+    np.testing.assert_allclose(got["x1"].to_numpy(), (pdf["x1"] / mag).to_numpy())
+    np.testing.assert_allclose(got["x2"].to_numpy(), (pdf["x2"] / mag).to_numpy())
+
+
+def test_kbins_uniform(spark):
+    pdf, rec = _recipe(spark)
+    rec.add_step(StepKBinsDiscretize(sel=all_of(["x1"]), n_bins=3, strategy="uniform"))
+    got = collect_sorted(rec.prep())
+    lo, hi = pdf["x1"].min(), pdf["x1"].max()
+    edges = np.linspace(lo, hi, 4)
+    expected = np.clip(np.digitize(pdf["x1"], edges[1:-1], right=False), 0, 2)
+    np.testing.assert_array_equal(got["x1"].to_numpy(), expected.astype(float))
+
+
+def test_kbins_quantile(spark):
+    pdf, rec = _recipe(spark)
+    rec.add_step(StepKBinsDiscretize(sel=all_of(["x1"]), n_bins=4, strategy="quantile"))
+    got = collect_sorted(rec.prep())
+    # each quantile bin gets ~n/4 rows
+    counts = np.bincount(got["x1"].astype(int), minlength=4)
+    assert counts.sum() == 10
+    assert counts.max() <= 4
+
+
+def test_quantile_transform(spark):
+    pdf, rec = _recipe(spark)
+    rec.add_step(StepQuantileTransform(sel=all_of(["x1"]), n_quantiles=10))
+    got = collect_sorted(rec.prep())
+    vals = got["x1"].to_numpy()
+    assert vals.min() == 0.0 and vals.max() == 1.0
+    # rank order preserved
+    np.testing.assert_array_equal(np.argsort(vals), np.argsort(pdf["x1"].to_numpy()))
+    # interpolated quantile rank of the fitted data is (rank)/(n-1)-ish:
+    # with n_quantiles=10 on 10 points the grid hits every point exactly
+    expected = (pdf["x1"].rank() - 1) / 9.0
+    np.testing.assert_allclose(vals, expected.to_numpy(), atol=1e-9)
+
+
+def test_ordinal_encode(spark):
+    pdf, rec = _recipe(spark)
+    rec.add_step(StepOrdinalEncode(sel=all_of(["x3", "x4"])))
+    got = collect_sorted(rec.prep())
+    for c in ["x3", "x4"]:
+        cats = sorted(pdf[c].unique())
+        expected = pdf[c].map({v: float(i) for i, v in enumerate(cats)})
+        np.testing.assert_array_equal(got[c].to_numpy(), expected.to_numpy())
+
+
+def test_ordinal_encode_unknown_category_is_null(spark):
+    pdf, rec = _recipe(spark)
+    step = StepOrdinalEncode(sel=all_of(["x3"]))
+    rec.add_step(step)
+    rec.prep()
+    pdf2 = pdf.copy()
+    pdf2.loc[0, "x3"] = "zzz-new"
+    baked = collect_sorted(rec.bake(spark.createDataFrame(pdf2)))
+    assert np.isnan(baked["x3"].to_numpy()[0])
+
+
+def test_onehot(spark):
+    pdf, rec = _recipe(spark)
+    rec.add_step(StepOneHotEncode(sel=all_of(["x3"])))
+    got = collect_sorted(rec.prep())
+    cats = sorted(pdf["x3"].unique())
+    for i, cat in enumerate(cats, start=1):
+        col = f"OneHotEncoder_{i}"
+        assert col in got.columns
+        np.testing.assert_array_equal(
+            got[col].to_numpy(), (pdf["x3"] == cat).astype(int).to_numpy()
+        )
+    assert "x3" in got.columns  # in_place=False keeps source
+
+
+def test_missing_indicator(spark):
+    pdf, rec = _recipe(spark, make_example_pdf(nan_x1=True))
+    rec.add_step(StepMissingIndicator(sel=all_of(["x1"])))
+    got = collect_sorted(rec.prep())
+    np.testing.assert_array_equal(
+        got["x1_missing"].to_numpy(), pdf["x1"].isna().astype(int).to_numpy()
+    )
+
+
+def test_fitted_state_frozen_for_bake(spark):
+    """The leakage boundary: bake on shifted data must use the PREP
+    statistics, not refit."""
+    pdf, rec = _recipe(spark)
+    rec.add_step(StepScale(sel=all_of(["x1"])))
+    rec.prep()
+    shifted = pdf.copy()
+    shifted["x1"] = shifted["x1"] + 100.0
+    baked = collect_sorted(rec.bake(spark.createDataFrame(shifted)))
+    expected = (shifted["x1"] - pdf["x1"].mean()) / pdf["x1"].std(ddof=0)
+    np.testing.assert_allclose(baked["x1"].to_numpy(), expected.to_numpy())
+
+
+def test_save_load_state(spark, tmp_path):
+    pdf, rec = _recipe(spark)
+    rec.add_step(StepScale(sel=all_of(["x1"])))
+    prepped = collect_sorted(rec.prep())
+    path = str(tmp_path / "state.json")
+    rec.save_state(path)
+
+    pdf2, rec2 = _recipe(spark)
+    rec2.add_step(StepScale(sel=all_of(["x1"])))
+    rec2.load_state(path)
+    baked = collect_sorted(rec2.bake())
+    np.testing.assert_allclose(baked["x1"].to_numpy(), prepped["x1"].to_numpy())

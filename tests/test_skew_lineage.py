@@ -1,0 +1,162 @@
+"""Salted two-phase accumulators ≡ plain window, and checkpoint/resume."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from recipys_spark import Accumulator, Recipe
+from recipys_spark.operators import StepHistorical, StepImputeFill, StepScale
+from recipys_spark.plans.lineage import CheckpointedPrep
+from recipys_spark.selector import all_of
+from recipys_spark.sources.io import synthetic_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return synthetic_transcripts(
+        spark, n_convs=30, skew=True, skew_factor=20, with_features=True
+    ).cache()
+
+
+def _recipe(df, **kw):
+    return Recipe(df, predictors=["value", "n_chars"], groups="conv_id", sequences="turn_idx", **kw)
+
+
+@pytest.mark.parametrize(
+    "fun",
+    [Accumulator.MAX, Accumulator.MIN, Accumulator.MEAN, Accumulator.COUNT, Accumulator.VAR],
+)
+def test_salted_equals_plain(spark, transcripts, fun):
+    plain = (
+        _recipe(transcripts)
+        .add_step(StepHistorical(sel=all_of(["value"]), fun=fun))
+        .prep()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    salted = (
+        _recipe(transcripts)
+        .add_step(StepHistorical(sel=all_of(["value"]), fun=fun, skew_bucket_size=16))
+        .prep()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    col = f"value_{fun.value}"
+    np.testing.assert_allclose(
+        salted[col].to_numpy(dtype=float),
+        plain[col].to_numpy(dtype=float),
+        equal_nan=True,
+        rtol=1e-9,
+    )
+
+
+def test_salted_median_rejected(spark, transcripts):
+    from recipys_spark.functions.skew import salted_expanding
+
+    with pytest.raises(ValueError):
+        salted_expanding(
+            transcripts, ["value"], ["conv_id"], "turn_idx", Accumulator.MEDIAN, "median", 16
+        )
+
+
+def test_checkpointed_prep_writes_manifests(spark, transcripts, tmp_path):
+    rec = (
+        _recipe(transcripts)
+        .add_step(StepHistorical(sel=all_of(["value"]), fun=Accumulator.MEAN))
+        .add_step(StepScale(sel=all_of(["n_chars"])))
+    )
+    runner = CheckpointedPrep(rec, str(tmp_path))
+    out = runner.run().orderBy("conv_id", "turn_idx").toPandas()
+
+    manifests = sorted(glob.glob(str(tmp_path / "stage=*" / "manifest.json")))
+    assert len(manifests) == 2
+    m0 = json.load(open(manifests[0]))
+    assert m0["rows"] == len(out)
+    assert sum(m0["partitions"].values()) == m0["rows"]
+    assert m0["step"] == "StepHistorical"
+    m1 = json.load(open(manifests[1]))
+    assert m1["state"]["state"]["n_chars"]["std"] > 0
+
+    # matches the non-checkpointed run
+    direct = (
+        _recipe(transcripts)
+        .add_step(StepHistorical(sel=all_of(["value"]), fun=Accumulator.MEAN))
+        .add_step(StepScale(sel=all_of(["n_chars"])))
+        .prep()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    np.testing.assert_allclose(
+        out["value_mean"].to_numpy(), direct["value_mean"].to_numpy(), equal_nan=True
+    )
+
+
+def test_checkpointed_prep_resumes(spark, transcripts, tmp_path):
+    def build():
+        return (
+            _recipe(transcripts)
+            .add_step(StepHistorical(sel=all_of(["value"]), fun=Accumulator.MEAN))
+            .add_step(StepScale(sel=all_of(["n_chars"])))
+        )
+
+    r1 = CheckpointedPrep(build(), str(tmp_path))
+    a = r1.run().orderBy("conv_id", "turn_idx").toPandas()
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(str(tmp_path / "stage=*" / "manifest.json"))
+    }
+
+    rec2 = build()
+    r2 = CheckpointedPrep(rec2, str(tmp_path))
+    b = r2.run().orderBy("conv_id", "turn_idx").toPandas()
+    # resume must not rewrite any manifest
+    for p, t in mtimes.items():
+        assert os.path.getmtime(p) == t, f"stage recomputed: {p}"
+    # fitted state restored on the resumed recipe
+    assert rec2.steps[1].trained
+    np.testing.assert_allclose(
+        a["n_chars"].to_numpy(), b["n_chars"].to_numpy(), equal_nan=True
+    )
+
+
+def test_checkpoint_invalidation_on_step_change(spark, transcripts, tmp_path):
+    rec = _recipe(transcripts).add_step(
+        StepHistorical(sel=all_of(["value"]), fun=Accumulator.MEAN)
+    )
+    CheckpointedPrep(rec, str(tmp_path)).run()
+    m0 = json.load(open(tmp_path / "stage=000" / "manifest.json"))
+
+    rec2 = _recipe(transcripts).add_step(
+        StepHistorical(sel=all_of(["value"]), fun=Accumulator.MAX)
+    )
+    CheckpointedPrep(rec2, str(tmp_path)).run()
+    m0b = json.load(open(tmp_path / "stage=000" / "manifest.json"))
+    assert m0["signature"] != m0b["signature"]
+
+
+def test_leakage_prefix_invariance(spark, transcripts):
+    """North-rule zero-leakage check (FIXTURES.md oracle strategy):
+    recompute features on a ts-truncated prefix of each conversation;
+    surviving rows must be bit-identical — no frame touches ts' > ts."""
+    rec = (
+        _recipe(transcripts)
+        .add_step(StepHistorical(sel=all_of(["value"]), fun=Accumulator.MEAN))
+        .add_step(StepImputeFill(sel=all_of(["value"]), strategy="forward"))
+    )
+    full = rec.prep().orderBy("conv_id", "turn_idx").toPandas()
+
+    cut = transcripts.where("turn_idx < 5")
+    rec2 = (
+        _recipe(cut)
+        .add_step(StepHistorical(sel=all_of(["value"]), fun=Accumulator.MEAN))
+        .add_step(StepImputeFill(sel=all_of(["value"]), strategy="forward"))
+    )
+    prefix = rec2.prep().orderBy("conv_id", "turn_idx").toPandas()
+    full_prefix = full[full.turn_idx < 5].reset_index(drop=True)
+    for col in ["value", "value_mean"]:
+        np.testing.assert_array_equal(
+            prefix[col].to_numpy(), full_prefix[col].to_numpy(), err_msg=col
+        )
