@@ -1,0 +1,142 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+All pure ``pyspark.sql.functions`` column expressions (JVM-side,
+whole-stage codegen — no Python in the hot path), each with an exact
+ANSI-SQL mirror used as the DuckDB oracle in ``__spark_entry__.py``.
+
+Covers: token counting (whitespace), punctuation/stopword ratios,
+quality scoring, n-gram-heuristic language ID, and md5 document
+fingerprinting over whitespace-normalized text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the heuristic language ID
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "des"],
+    "es": ["el", "los", "las", "y", "es", "una", "del"],
+}
+
+PUNCT_RE = r"[.,;:!?]"
+
+
+def tokens(col) -> "F.Column":
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_count(col) -> "F.Column":
+    return F.size(tokens(col))
+
+
+def punct_ratio(col) -> "F.Column":
+    n = F.length(col)
+    stripped = F.length(F.regexp_replace(col, PUNCT_RE, ""))
+    return F.when(n > 0, (n - stripped) / n).otherwise(F.lit(0.0))
+
+
+def stopword_count(col, lang: str) -> "F.Column":
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(tokens(col), lambda t: t.isin(*words))
+    )
+
+
+def stopword_ratio(col, lang: str = "en") -> "F.Column":
+    return stopword_count(col, lang) / token_count(col)
+
+
+def quality_score(col) -> "F.Column":
+    """Deterministic heuristic in [0, 1]: reward length (saturating at
+    100 tokens) and stopword presence, penalize punctuation soup."""
+    length_term = F.least(F.lit(1.0), token_count(col) / F.lit(100.0))
+    stop_term = F.least(F.lit(1.0), stopword_ratio(col, "en") * F.lit(4.0))
+    return F.round(
+        length_term * (F.lit(1.0) - punct_ratio(col)) * (F.lit(0.5) + stop_term / 2),
+        6,
+    )
+
+
+def lang_guess(col) -> "F.Column":
+    """Argmax of per-language stopword hits; ties and zero hits → 'und'."""
+    counts = {lang: stopword_count(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    # reverse order so earlier (alphabetical) languages win ties
+    for lang in sorted(STOPWORDS, reverse=True):
+        expr = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_text(col) -> "F.Column":
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col) -> "F.Column":
+    """Whitespace-insensitive md5 document fingerprint (portable:
+    identical result in any engine with md5)."""
+    return F.md5(normalized_text(col))
+
+
+def simhash32(col) -> "F.Column":
+    """32-bit SimHash over whitespace tokens, fully JVM-side.
+
+    Each distinct token hashes (xxhash64) once; bit i of the signature
+    is 1 iff the sum over tokens of ±1 (by the token-hash's bit i) is
+    positive. Near-duplicates differ in few bits (small Hamming
+    distance)."""
+    toks = F.array_distinct(tokens(col))
+    out = F.lit(0).cast("long")
+    for i in range(32):
+        bit_sum = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        out = out + F.when(bit_sum > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+# -- SQL mirrors (DuckDB oracles) ----------------------------------------
+
+SQL_TOKENS = "string_split_regex(trim(lower({c})), '\\s+')"
+SQL_TOKEN_COUNT = f"len({SQL_TOKENS})"
+SQL_PUNCT_RATIO = (
+    "CASE WHEN length({c}) > 0 THEN "
+    "(length({c}) - length(regexp_replace({c}, '[.,;:!?]', '', 'g'))) "
+    "/ CAST(length({c}) AS DOUBLE) ELSE 0.0 END"
+)
+
+
+def sql_stopword_count(c: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({SQL_TOKENS.format(c=c)}, t -> t IN ({words})))"
+
+
+def sql_quality_score(c: str) -> str:
+    tc = SQL_TOKEN_COUNT.format(c=c)
+    pr = SQL_PUNCT_RATIO.format(c=c)
+    sw = sql_stopword_count(c, "en")
+    return (
+        f"round(least(1.0, {tc} / 100.0) * (1.0 - {pr}) "
+        f"* (0.5 + least(1.0, ({sw} / CAST({tc} AS DOUBLE)) * 4.0) / 2), 6)"
+    )
+
+
+def sql_lang_guess(c: str) -> str:
+    counts = {lang: sql_stopword_count(c, lang) for lang in STOPWORDS}
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    expr = "'und'"
+    for lang in sorted(STOPWORDS, reverse=True):
+        expr = (
+            f"CASE WHEN {best} > 0 AND {counts[lang]} = {best} "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return expr
+
+
+SQL_FINGERPRINT = "md5(trim(regexp_replace(lower({c}), '\\s+', ' ', 'g')))"

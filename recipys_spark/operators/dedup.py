@@ -1,0 +1,201 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each a lazy DataFrame transform designed for 100 TB inputs:
+
+- ``exact_dedup``: hash-groupBy on a whitespace-normalized md5
+  fingerprint; one shuffle on the fingerprint, keeps the min-id row per
+  group (deterministic winner).
+- ``jaccard_pairs``: blocked exact token-set Jaccard — self-join inside
+  small blocks (language by default). Quadratic *within a block only*;
+  the oracle-checkable ground truth for the approximate tiers.
+- ``minhash_lsh_pairs``: MinHash signatures (xxhash64 per seed, all
+  JVM-side) → banded LSH bucketing → candidates from equal band keys →
+  exact Jaccard verification. The scale path: shuffle is on band keys,
+  never all-pairs.
+- ``simhash_pairs``: 32-bit SimHash bucketing (exact-signature match)
+  for fast near-exact duplicate clusters.
+- ``embedding_neardup_pairs``: cosine-similarity near-duplicates over an
+  embedding column; brute blocked variant (see similarity.py for ANN).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from recipys_spark.functions.text import fingerprint, simhash32, tokens
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per distinct normalized text."""
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _token_sets(df: DataFrame, text_col: str, id_col: str, extra: Sequence[str]):
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra],
+        F.array_distinct(tokens(F.col(text_col))).alias("__toks"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Sequence[str] = ("lang",),
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard over all pairs within a block.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b. Quadratic within
+    blocks — use minhash_lsh_pairs when blocks are large."""
+    block_cols = list(block_cols)
+    a = _token_sets(df, text_col, id_col, block_cols)
+    b = a.select(
+        F.col(id_col).alias("__idb"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("__toks").alias("__toksb"),
+    )
+    cond = F.col(id_col) < F.col("__idb")
+    for c in block_cols:
+        cond = cond & (F.col(c) == F.col(f"__b_{c}"))
+    joined = a.join(b, cond)
+    inter = F.size(F.array_intersect("__toks", "__toksb")).cast("double")
+    union = F.size(F.array_union("__toks", "__toksb")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(toks_col, num_hashes: int, seed: int = 42):
+    """Array of num_hashes MinHash values over a token array column."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(toks_col, lambda t: F.xxhash64(t, F.lit(seed + i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, Jaccard-verified.
+
+    Signature of ``num_hashes`` minhashes split into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band key become
+    candidates (P[candidate] ≈ 1-(1-j^r)^b); candidates get their exact
+    token-set Jaccard and only pairs ≥ threshold survive. Shuffles:
+    one explode+groupBy on band keys, one join back per side — no
+    all-pairs product."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    docs = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("__toks")
+    ).where(F.size("__toks") > 0)
+    sig = docs.select(
+        id_col, "__toks", minhash_signature(F.col("__toks"), num_hashes, seed).alias("__sig")
+    )
+    banded = sig.select(
+        id_col,
+        "__toks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.col("__sig")[b * r + j].cast("string") for j in range(r)]
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select(id_col, "__toks", "__band.band", "__band.key")
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta"), "band", "key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb"), "band", "key"
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ta", "__tb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb")).cast("double")
+    union = F.size(F.array_union("__ta", "__tb")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return cand.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+def simhash_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group docs by identical 32-bit SimHash; emit cluster ids for
+    clusters of size > 1 (near-exact duplicates)."""
+    sims = df.select(F.col(id_col), simhash32(F.col(text_col)).alias("simhash"))
+    w = Window.partitionBy("simhash")
+    return (
+        sims.withColumn("__n", F.count("*").over(w))
+        .where(F.col("__n") > 1)
+        .select(id_col, "simhash")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_col: Optional[str] = None,
+) -> DataFrame:
+    """Cosine-similarity near-duplicate pairs (id_a < id_b, cos ≥ t).
+
+    Brute within optional blocks; for billion-row corpora use
+    similarity.lsh_cosine_topk's hyperplane bucketing instead."""
+    from recipys_spark.operators.similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("__ea"),
+                  *( [F.col(block_col).alias("__blk_a")] if block_col else [] ))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("__eb"),
+                  *( [F.col(block_col).alias("__blk_b")] if block_col else [] ))
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("__blk_a") == F.col("__blk_b"))
+    pairs = a.join(b, cond)
+    cos = cosine_expr(F.col("__ea"), F.col("__eb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)

@@ -1,0 +1,155 @@
+"""Dedup, text features, similarity search, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from recipys_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_clusters,
+)
+from recipys_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    synthetic_media,
+    FEATURE_DIM,
+)
+from recipys_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from recipys_spark.operators.textstats import StepTextFeatures
+from recipys_spark import Recipe
+from recipys_spark.selector import all_of
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "pack my box with five dozen liquor jugs",
+        "sphinx of black quartz judge my vow",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "completely different text about spark engines and shuffles",
+        "pack my box with five dozen liquor jugs today", # near-dup of 2
+        "  The  QUICK brown fox jumps over the lazy dog ",  # normalized dup of 0
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(base)), "text": base, "lang": ["en"] * len(base)}
+    )
+    return spark.createDataFrame(pdf).cache()
+
+
+def test_exact_dedup(spark, docs):
+    kept = exact_dedup(docs).toPandas().sort_values("doc_id")
+    # 0, 4 and 7 normalize identically -> keep 0
+    assert set(kept.doc_id) == {0, 1, 2, 3, 5, 6}
+
+
+def test_jaccard_pairs_ground_truth(spark, docs):
+    pairs = jaccard_pairs(docs, threshold=0.6).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    # exact dups and near-dups must pair up
+    assert (0, 4) in got and (0, 7) in got and (4, 7) in got
+    assert (0, 1) in got  # one-token difference
+    assert (2, 6) in got
+    assert not any({3, 5} & {a, b} for a, b in got)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    got = minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.6).toPandas()
+    pairs = {(a, b) for a, b in zip(got.id_a, got.id_b)}
+    # exact dups always collide in every band
+    assert (0, 4) in pairs and (0, 7) in pairs
+    # verified jaccard values match the exact computation
+    exact = jaccard_pairs(docs, threshold=0.6).toPandas()
+    exact_map = {(a, b): j for a, b, j in zip(exact.id_a, exact.id_b, exact.jaccard)}
+    for (a, b), j in zip(pairs, got.jaccard):
+        pass
+    for _, row in got.iterrows():
+        assert exact_map[(row.id_a, row.id_b)] == pytest.approx(row.jaccard)
+    # LSH candidates are a subset of (blocked) all-pairs ground truth
+    assert pairs <= set(exact_map)
+
+
+def test_simhash_clusters(spark, docs):
+    got = simhash_clusters(docs).toPandas()
+    # the three normalized-identical docs share a simhash
+    groups = got.groupby("simhash")["doc_id"].apply(set).tolist()
+    assert {0, 4, 7} in groups
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rs = np.random.RandomState(7)
+    base = rs.normal(size=(20, 8)).astype("float32")
+    base[5] = base[0] + 0.01 * rs.normal(size=8).astype("float32")  # near-dup
+    pdf = pd.DataFrame(
+        {"vec_id": range(20), "embedding": [list(map(float, v)) for v in base]}
+    )
+    return spark.createDataFrame(pdf).cache()
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    got = cosine_topk(embeddings, embeddings, k=3).toPandas()
+    pdf = embeddings.toPandas()
+    mat = np.stack(pdf.embedding.map(np.array))
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    for qid in range(20):
+        top = got[got.query_id == qid].sort_values("rank")
+        expected = np.argsort(-sims[qid], kind="stable")[:3]
+        assert list(top.neighbor_id) == list(expected)
+        np.testing.assert_allclose(
+            top.cosine.to_numpy(), sims[qid][expected], atol=1e-5
+        )
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    brute = cosine_topk(embeddings, embeddings, k=1).toPandas()
+    approx = lsh_cosine_topk(
+        embeddings, embeddings, k=1, n_planes=4, dim=8, multiprobe=True
+    ).toPandas()
+    b = dict(zip(brute.query_id, brute.neighbor_id))
+    a = dict(zip(approx.query_id, approx.neighbor_id))
+    hits = sum(1 for q in b if a.get(q) == b[q])
+    # LSH with multiprobe should recover most true NNs on this tiny set
+    assert hits / len(b) >= 0.5
+    # the engineered near-identical pair must be found
+    assert a.get(0) == 5 and a.get(5) == 0
+
+
+def test_embedding_neardup(spark, embeddings):
+    got = embedding_neardup_pairs(embeddings, threshold=0.99).toPandas()
+    assert {(0, 5)} == {(a, b) for a, b in zip(got.id_a, got.id_b)}
+
+
+def test_text_features_step(spark, docs):
+    rec = Recipe(docs, predictors=["text"]).add_step(
+        StepTextFeatures(sel=all_of(["text"]))
+    )
+    out = rec.prep().toPandas().sort_values("doc_id")
+    assert (out["text_n_chars"] == out["text"].str.len()).all()
+    assert out["text_n_tokens"].iloc[0] == 9
+    assert out["text_lang"].iloc[0] == "en"
+    # normalized dups share a fingerprint
+    fp = out.set_index("doc_id")["text_fingerprint"]
+    assert fp[0] == fp[4] == fp[7]
+    assert (out["text_quality"] > 0).all()
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 30
+    assert all(len(v) == FEATURE_DIM for v in feats.features)
+    # deterministic: same payload -> same features on re-run
+    feats2 = extract_features(synthetic_media(spark, n=30)).toPandas()
+    a = feats.sort_values("media_id").features.map(tuple).tolist()
+    b = feats2.sort_values("media_id").features.map(tuple).tolist()
+    assert a == b
+    frames = frame_sample(synthetic_media(spark, n=30), every_ms=1000).toPandas()
+    assert (frames.frame_ms % 1000 == 0).all()
+    assert len(frames) > 0
