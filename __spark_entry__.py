@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One ``queries()`` entry per implemented operator from SURVEY.md §2 and
+the training-pipeline extensions, each exercised THROUGH the
+recipys_spark engine (Recipe/Step or the operator functions), with a
+DuckDB-runnable ANSI-SQL oracle in ``oracle_sql()``. Non-SQL-expressible
+ops (minhash LSH — xxhash64-based; hyperplane ANN; simhash; multimodal
+UDF plumbing) have queries but no oracle → driver records rows-only.
+
+Float outputs are BIT-IDENTICAL across engines: means/variances use
+exact decimal accumulation (functions/deterministic.py) and the SQL
+mirrors share the same expression tree, so the driver's value-hash
+matches without any rounding. (Rounding is avoided deliberately —
+Spark and DuckDB break decimal .5 midpoints differently, so rounding
+*introduces* divergence on otherwise-identical values.) Only the
+irrational-valued cosine similarities round (6 dp), where midpoints
+have measure zero.
 """
 
 from __future__ import annotations
@@ -12,27 +22,602 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recipys_spark import Accumulator, Recipe
+from recipys_spark.operators import (
+    StepHistorical,
+    StepImputeFill,
+    StepKBinsDiscretize,
+    StepLag,
+    StepLead,
+    StepMinMaxScale,
+    StepMissingIndicator,
+    StepOneHotEncode,
+    StepOrdinalEncode,
+    StepRobustScale,
+    StepScale,
+    StepSessionize,
+    asof_join,
+)
+from recipys_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_clusters,
+)
+from recipys_spark.operators.multimodal import extract_features, synthetic_media
+from recipys_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from recipys_spark.functions import text as TX
+from recipys_spark.selector import all_of
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + value_n: value with nulls injected at event_id%7==0
+    (the driver tables carry no nulls; fills need them)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value_n"),
+    )
+
+
+_EVENTS_N_SQL = (
+    "SELECT event_id, user_id, ts, value, "
+    "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_n FROM events"
+)
+
+_EVENTS_KEYS = ["event_id", "user_id", "ts"]
+
+
+def _hist_recipe(spark, sf_dir, fun, round_dp=None):
+    ev = _events_with_nulls(spark, sf_dir)
+    rec = Recipe(ev, predictors=["value_n"], groups="user_id", sequences="ts")
+    rec.add_step(StepHistorical(sel=all_of(["value_n"]), fun=fun))
+    out = rec.prep()
+    col = f"value_n_{fun.value}"
+    expr = F.round(F.col(col), round_dp).alias(col) if round_dp else F.col(col)
+    return out.select(*_EVENTS_KEYS, "value_n", expr)
+
+
+_HIST_FRAME = (
+    "OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+
+def _hist_sql(expr: str, alias: str, round_dp=None, null_at_null=False) -> str:
+    if null_at_null:
+        expr = f"CASE WHEN value_n IS NULL THEN NULL ELSE {expr} END"
+    if round_dp:
+        expr = f"round({expr}, {round_dp})"
+    return (
+        f"SELECT event_id, user_id, ts, value_n, {expr} AS {alias} "
+        f"FROM ({_EVENTS_N_SQL})"
+    )
+
+
+# ----------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: recipe-bake over sf0.001 events — expanding mean +
+    group ffill + ts-gap sessionization in one lazy plan."""
+    ev = _events_with_nulls(spark, "/root/testdata/sf0.001")
+    rec = (
+        Recipe(ev, predictors=["value_n"], groups="user_id", sequences="ts")
+        .add_step(StepHistorical(sel=all_of(["value_n"]), fun=Accumulator.MEAN))
+        .add_step(StepImputeFill(sel=all_of(["value_n"]), strategy="forward"))
+        .add_step(StepSessionize(gap="30m"))
+    )
+    return rec.prep()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- historical accumulators (StepHistorical, SURVEY §2.1 #1–3) ----
+    q["hist_max"] = lambda s, d: _hist_recipe(s, d, Accumulator.MAX)
+    q["hist_min"] = lambda s, d: _hist_recipe(s, d, Accumulator.MIN)
+    # MEAN/VAR use exact decimal accumulation in the engine → results
+    # are bit-identical at any parallelism and vs the SQL oracle, no
+    # rounding needed (rounding would *introduce* divergence: Spark and
+    # DuckDB break .5 midpoints differently)
+    q["hist_mean"] = lambda s, d: _hist_recipe(s, d, Accumulator.MEAN)
+    q["hist_median"] = lambda s, d: _hist_recipe(s, d, Accumulator.MEDIAN)
+    q["hist_count"] = lambda s, d: _hist_recipe(s, d, Accumulator.COUNT)
+    q["hist_var"] = lambda s, d: _hist_recipe(s, d, Accumulator.VAR)
+
+    # -- imputation (StepImputeFill, §2.1 #4) ---------------------------
+    def ffill(s, d):
+        ev = _events_with_nulls(s, d)
+        rec = Recipe(ev, predictors=["value_n"], groups="user_id", sequences="ts")
+        rec.add_step(StepImputeFill(sel=all_of(["value_n"]), strategy="forward"))
+        return rec.prep().select(*_EVENTS_KEYS, F.col("value_n").alias("value_f"))
+
+    q["impute_ffill"] = ffill
+
+    def bfill(s, d):
+        ev = _events_with_nulls(s, d)
+        rec = Recipe(ev, predictors=["value_n"], groups="user_id", sequences="ts")
+        rec.add_step(StepImputeFill(sel=all_of(["value_n"]), strategy="backward"))
+        return rec.prep().select(*_EVENTS_KEYS, F.col("value_n").alias("value_b"))
+
+    q["impute_bfill"] = bfill
+
+    def ffill_limit(s, d):
+        ev = _events_with_nulls(s, d)
+        rec = Recipe(ev, predictors=["value_n"], groups="user_id", sequences="ts")
+        rec.add_step(StepImputeFill(sel=all_of(["value_n"]), strategy="forward", limit=1))
+        return rec.prep().select(*_EVENTS_KEYS, F.col("value_n").alias("value_fl"))
+
+    q["impute_ffill_limit"] = ffill_limit
+
+    def fill_group_mean(s, d):
+        ev = _events_with_nulls(s, d)
+        rec = Recipe(ev, predictors=["value_n"], groups="user_id", sequences="ts")
+        rec.add_step(StepImputeFill(sel=all_of(["value_n"]), strategy="mean"))
+        return rec.prep().select(
+            *_EVENTS_KEYS, F.col("value_n").alias("value_m")
+        )
+
+    q["impute_group_mean"] = fill_group_mean
+
+    def missing_ind(s, d):
+        ev = _events_with_nulls(s, d)
+        rec = Recipe(ev, predictors=["value_n"], groups="user_id", sequences="ts")
+        rec.add_step(StepMissingIndicator(sel=all_of(["value_n"])))
+        return rec.prep().select(*_EVENTS_KEYS, "value_n_missing")
+
+    q["missing_indicator"] = missing_ind
+
+    # -- lag/lead + rolling (§2.3 window functions) ---------------------
+    def lag_lead(s, d):
+        ev = _events_with_nulls(s, d)
+        rec = Recipe(ev, predictors=["value"], groups="user_id", sequences="ts")
+        rec.add_step(StepLag(sel=all_of(["value"]), lags=(1,)))
+        rec.add_step(StepLead(sel=all_of(["value"]), leads=(1,)))
+        return rec.prep().select(*_EVENTS_KEYS, "value_lag_1", "value_lead_1")
+
+    q["lag_lead"] = lag_lead
+
+    # -- sessionization (north_rule) -------------------------------------
+    def sessionize(s, d):
+        ev = _events_with_nulls(s, d)
+        rec = Recipe(ev, predictors=["value"], groups="user_id", sequences="ts")
+        rec.add_step(StepSessionize(gap="30m"))
+        return rec.prep().select(*_EVENTS_KEYS, "session_id")
+
+    q["sessionize"] = sessionize
+
+    def session_stats(s, d):
+        ev = sessionize(s, d)
+        # fractional-second duration (ts carries microseconds; truncating
+        # via unix_timestamp would disagree with epoch() by ±1 s)
+        epoch = F.col("ts").cast("timestamp").cast("double")
+        return ev.select("user_id", "session_id", epoch.alias("__e")).groupBy(
+            "user_id", "session_id"
+        ).agg(
+            F.count("*").alias("n_events"),
+            (F.max("__e") - F.min("__e")).alias("duration_s"),
+        )
+
+    q["session_stats"] = session_stats
+
+    # -- resampling (StepResampling, §2.1 #8) ----------------------------
+    def resample(s, d):
+        from recipys_spark.operators import StepResampling
+
+        ev = _events_with_nulls(s, d).select("user_id", "ts", "value_n")
+        rec = Recipe(ev, predictors=["value_n"], groups="user_id", sequences="ts")
+        rec.add_step(
+            StepResampling(
+                new_resolution="2h",
+                accumulator_dict={all_of(["value_n"]): Accumulator.LAST},
+            )
+        )
+        out = rec.prep()
+        return out.select(
+            "user_id", F.col("ts").alias("bucket"), F.col("value_n").alias("value_last")
+        )
+
+    q["resample_2h_last"] = resample
+
+    def resample_agg(s, d):
+        ev = _events_with_nulls(s, d)
+        bucket = F.timestamp_seconds(
+            (F.unix_timestamp("ts") / 7200).cast("long") * 7200
+        )
+        from recipys_spark.functions.deterministic import det_mean
+
+        return ev.groupBy("user_id", bucket.alias("bucket")).agg(
+            F.count("value_n").alias("n"),
+            det_mean(F.col("value_n")).alias("value_avg"),
+            F.max("value_n").alias("value_max"),
+        )
+
+    q["resample_2h_agg"] = resample_agg
+
+    # -- as-of join (north_rule custom operator) --------------------------
+    def asof(s, d):
+        ev = _events_with_nulls(s, d)
+        feats = (
+            _t(s, d, "events")
+            .where(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("fts"), F.col("value").alias("feat"))
+        )
+        return asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            feats,
+            on="user_id",
+            left_ts="ts",
+            right_ts="fts",
+        ).select(*_EVENTS_KEYS, "feat")
+
+    q["asof_join"] = asof
+
+    def asof_tol(s, d):
+        ev = _events_with_nulls(s, d)
+        feats = (
+            _t(s, d, "events")
+            .where(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("fts"), F.col("value").alias("feat"))
+        )
+        return asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            feats,
+            on="user_id",
+            left_ts="ts",
+            right_ts="fts",
+            tolerance="1d",
+        ).select(*_EVENTS_KEYS, "feat")
+
+    q["asof_join_tolerance"] = asof_tol
+
+    # -- fitted scalers (§2.1 #9–10 native tier) --------------------------
+    def scale_std(s, d):
+        li = _t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+        rec = Recipe(li, predictors=["l_extendedprice"])
+        rec.add_step(StepScale(sel=all_of(["l_extendedprice"])))
+        return rec.prep().select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").alias("price_scaled"),
+        )
+
+    q["scale_standard"] = scale_std
+
+    def scale_minmax(s, d):
+        li = _t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+        rec = Recipe(li, predictors=["l_quantity"])
+        rec.add_step(StepMinMaxScale(sel=all_of(["l_quantity"])))
+        return rec.prep().select(
+            "l_orderkey", "l_linenumber", F.col("l_quantity").alias("qty_scaled")
+        )
+
+    q["scale_minmax"] = scale_minmax
+
+    def scale_robust(s, d):
+        li = _t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+        rec = Recipe(li, predictors=["l_extendedprice"])
+        rec.add_step(StepRobustScale(sel=all_of(["l_extendedprice"])))
+        return rec.prep().select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").alias("price_robust"),
+        )
+
+    q["scale_robust"] = scale_robust
+
+    def kbins(s, d):
+        li = _t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+        rec = Recipe(li, predictors=["l_extendedprice"])
+        rec.add_step(
+            StepKBinsDiscretize(sel=all_of(["l_extendedprice"]), n_bins=5, strategy="uniform")
+        )
+        return rec.prep().select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("int").alias("price_bin"),
+        )
+
+    q["kbins_uniform"] = kbins
+
+    # -- encoders (§2.1 sklearn table) -------------------------------------
+    def ordinal(s, d):
+        o = _t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+        rec = Recipe(o, predictors=["o_orderpriority"])
+        rec.add_step(StepOrdinalEncode(sel=all_of(["o_orderpriority"])))
+        return rec.prep().select(
+            "o_orderkey", F.col("o_orderpriority").cast("int").alias("priority_ord")
+        )
+
+    q["ordinal_encode"] = ordinal
+
+    def onehot(s, d):
+        o = _t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+        rec = Recipe(o, predictors=["o_orderpriority"])
+        rec.add_step(StepOneHotEncode(sel=all_of(["o_orderpriority"])))
+        return rec.prep().select(
+            "o_orderkey",
+            *[f"OneHotEncoder_{i}" for i in range(1, 6)],
+        )
+
+    q["onehot_encode"] = onehot
+
+    # -- dedup ---------------------------------------------------------------
+    q["dedup_exact"] = lambda s, d: exact_dedup(_t(s, d, "documents")).select("doc_id")
+
+    q["dedup_jaccard"] = lambda s, d: jaccard_pairs(
+        _t(s, d, "documents"), block_cols=("lang",), threshold=0.8
+    )
+
+    # xxhash-based: no SQL mirror → rows-only check
+    q["dedup_minhash_lsh"] = lambda s, d: minhash_lsh_pairs(
+        _t(s, d, "documents"), num_hashes=32, bands=8, threshold=0.8
+    )
+    q["dedup_simhash"] = lambda s, d: simhash_clusters(_t(s, d, "documents"))
+
+    # -- text analysis ---------------------------------------------------------
+    def text_features(s, d):
+        docs = _t(s, d, "documents")
+        c = F.col("text")
+        return docs.select(
+            "doc_id",
+            F.length(c).alias("len_chars"),
+            TX.token_count(c).alias("n_tokens"),
+            TX.punct_ratio(c).alias("punct_ratio"),
+            TX.quality_score(c).alias("quality"),
+            TX.lang_guess(c).alias("lang_guess"),
+            TX.fingerprint(c).alias("fp"),
+        )
+
+    q["text_features"] = text_features
+
+    def token_histogram(s, d):
+        docs = _t(s, d, "documents")
+        return (
+            docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["token_histogram"] = token_histogram
+
+    # -- similarity search -------------------------------------------------------
+    def ann_brute(s, d):
+        emb = _t(s, d, "embeddings")
+        return cosine_topk(emb.where(F.col("vec_id") < 5), emb, k=10)
+
+    q["ann_cosine_topk"] = ann_brute
+
+    # hyperplane LSH: no SQL mirror → rows-only
+    def ann_lsh(s, d):
+        emb = _t(s, d, "embeddings")
+        return lsh_cosine_topk(
+            emb.where(F.col("vec_id") < 5), emb, k=10, n_planes=8, dim=64
+        )
+
+    q["ann_lsh_topk"] = ann_lsh
+
+    # -- multimodal plumbing (stubbed decode) → rows-only ---------------------------
+    def media_features(s, d):
+        return extract_features(synthetic_media(s, n=200)).select(
+            "media_id", "kind", F.round(F.element_at("features", 1), 6).alias("f0")
+        )
+
+    q["multimodal_features"] = media_features
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    ev = _EVENTS_N_SQL
+
+    from recipys_spark.functions.deterministic import (
+        sql_det_mean,
+        sql_det_stddev_pop,
+        sql_det_var_samp,
+    )
+
+    fr = _HIST_FRAME
+    o["hist_max"] = _hist_sql(f"max(value_n) {fr}", "value_n_max", null_at_null=True)
+    o["hist_min"] = _hist_sql(f"min(value_n) {fr}", "value_n_min", null_at_null=True)
+    o["hist_mean"] = _hist_sql(sql_det_mean("value_n", fr), "value_n_mean")
+    o["hist_median"] = _hist_sql(
+        f"quantile_cont(value_n, 0.5) {fr}", "value_n_median"
+    )
+    o["hist_count"] = _hist_sql(f"count(value_n) {fr}", "value_n_count")
+    o["hist_var"] = _hist_sql(sql_det_var_samp("value_n", fr), "value_n_var")
+
+    o["impute_ffill"] = (
+        f"SELECT event_id, user_id, ts, coalesce(value_n, "
+        "last_value(value_n IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS value_f "
+        f"FROM ({ev})"
+    )
+    o["impute_bfill"] = (
+        f"SELECT event_id, user_id, ts, coalesce(value_n, "
+        "first_value(value_n IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS value_b "
+        f"FROM ({ev})"
+    )
+    o["impute_ffill_limit"] = (
+        "WITH nums AS ("
+        f"SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn "
+        f"FROM ({ev})"
+        "), base AS ("
+        "SELECT *, "
+        "last_value(value_n IGNORE NULLS) OVER w AS lv, "
+        "last_value(CASE WHEN value_n IS NOT NULL THEN rn END IGNORE NULLS) OVER w AS lrn "
+        "FROM nums "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ") SELECT event_id, user_id, ts, "
+        "coalesce(value_n, CASE WHEN rn - lrn <= 1 THEN lv END) AS value_fl FROM base"
+    )
+    o["impute_group_mean"] = (
+        f"SELECT event_id, user_id, ts, "
+        "coalesce(value_n, "
+        f"{sql_det_mean('value_n', 'OVER (PARTITION BY user_id)')}"
+        ") AS value_m "
+        f"FROM ({ev})"
+    )
+    o["missing_indicator"] = (
+        f"SELECT event_id, user_id, ts, "
+        f"CASE WHEN value_n IS NULL THEN 1 ELSE 0 END AS value_n_missing FROM ({ev})"
+    )
+
+    o["lag_lead"] = (
+        "SELECT event_id, user_id, ts, "
+        "lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS value_lag_1, "
+        "lead(value) OVER (PARTITION BY user_id ORDER BY ts) AS value_lead_1 "
+        "FROM events"
+    )
+
+    _sess = (
+        "SELECT event_id, user_id, ts, value, "
+        "CAST(sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 "
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id "
+        "FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts "
+        "FROM events)"
+    )
+    o["sessionize"] = f"SELECT event_id, user_id, ts, session_id FROM ({_sess})"
+    o["session_stats"] = (
+        f"SELECT user_id, session_id, count(*) AS n_events, "
+        "epoch(max(ts)) - epoch(min(ts)) AS duration_s "
+        f"FROM ({_sess}) GROUP BY user_id, session_id"
+    )
+
+    o["resample_2h_last"] = (
+        "SELECT user_id, to_timestamp(floor(epoch(ts) / 7200) * 7200) AS bucket, "
+        "arg_max(value_n, ts) FILTER (WHERE value_n IS NOT NULL) AS value_last "
+        f"FROM ({ev}) GROUP BY 1, 2"
+    )
+    o["resample_2h_agg"] = (
+        "SELECT user_id, to_timestamp(floor(epoch(ts) / 7200) * 7200) AS bucket, "
+        "count(value_n) AS n, " + sql_det_mean("value_n", "") + " AS value_avg, "
+        f"max(value_n) AS value_max FROM ({ev}) GROUP BY 1, 2"
+    )
+
+    _feats = (
+        "SELECT user_id, ts AS fts, value AS feat FROM events "
+        "WHERE event_type = 'purchase'"
+    )
+    o["asof_join"] = (
+        "SELECT e.event_id, e.user_id, e.ts, f.feat "
+        f"FROM events e ASOF LEFT JOIN ({_feats}) f "
+        "ON e.user_id = f.user_id AND f.fts <= e.ts"
+    )
+    o["asof_join_tolerance"] = (
+        "SELECT e.event_id, e.user_id, e.ts, "
+        "(SELECT f.feat FROM (" + _feats + ") f "
+        "WHERE f.user_id = e.user_id AND f.fts <= e.ts "
+        "AND epoch(e.ts) - epoch(f.fts) <= 86400 "
+        "ORDER BY f.fts DESC LIMIT 1) AS feat "
+        "FROM events e"
+    )
+
+    o["scale_standard"] = (
+        "SELECT l_orderkey, l_linenumber, "
+        f"(l_extendedprice - {sql_det_mean('l_extendedprice', 'OVER ()')}) "
+        f"/ {sql_det_stddev_pop('l_extendedprice', 'OVER ()')} "
+        "AS price_scaled FROM lineitem"
+    )
+    o["scale_minmax"] = (
+        "SELECT l_orderkey, l_linenumber, "
+        "(l_quantity - min(l_quantity) OVER ()) "
+        "/ (max(l_quantity) OVER () - min(l_quantity) OVER ()) AS qty_scaled "
+        "FROM lineitem"
+    )
+    o["scale_robust"] = (
+        "SELECT l_orderkey, l_linenumber, "
+        "(l_extendedprice - quantile_cont(l_extendedprice, 0.5) OVER ()) "
+        "/ (quantile_cont(l_extendedprice, 0.75) OVER () "
+        "- quantile_cont(l_extendedprice, 0.25) OVER ()) AS price_robust "
+        "FROM lineitem"
+    )
+    o["kbins_uniform"] = (
+        "WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx "
+        "FROM lineitem) "
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST((l_extendedprice >= mn + (mx - mn) * 1 / 5)::int "
+        "+ (l_extendedprice >= mn + (mx - mn) * 2 / 5)::int "
+        "+ (l_extendedprice >= mn + (mx - mn) * 3 / 5)::int "
+        "+ (l_extendedprice >= mn + (mx - mn) * 4 / 5)::int AS INT) AS price_bin "
+        "FROM lineitem, s"
+    )
+
+    o["ordinal_encode"] = (
+        "SELECT o_orderkey, CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 "
+        "AS INT) AS priority_ord FROM orders"
+    )
+    # categories sorted lexicographically: 1-URGENT < 2-HIGH < 3-MEDIUM
+    # < 4-NOT SPECIFIED < 5-LOW
+    o["onehot_encode"] = (
+        "SELECT o_orderkey, "
+        "(o_orderpriority = '1-URGENT')::int AS OneHotEncoder_1, "
+        "(o_orderpriority = '2-HIGH')::int AS OneHotEncoder_2, "
+        "(o_orderpriority = '3-MEDIUM')::int AS OneHotEncoder_3, "
+        "(o_orderpriority = '4-NOT SPECIFIED')::int AS OneHotEncoder_4, "
+        "(o_orderpriority = '5-LOW')::int AS OneHotEncoder_5 "
+        "FROM orders"
+    )
+
+    _fp = TX.SQL_FINGERPRINT.format(c="text")
+    o["dedup_exact"] = (
+        f"SELECT doc_id FROM documents "
+        f"QUALIFY row_number() OVER (PARTITION BY {_fp} ORDER BY doc_id) = 1"
+    )
+    _toks = TX.SQL_TOKENS.format(c="text")
+    o["dedup_jaccard"] = (
+        "SELECT * FROM ("
+        "WITH t AS (SELECT doc_id, lang, "
+        f"list_distinct({_toks}) AS toks FROM documents) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "len(list_intersect(a.toks, b.toks)) "
+        "/ CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) "
+        "AS jaccard "
+        "FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id"
+        ") WHERE jaccard >= 0.8"
+    )
+
+    o["text_features"] = (
+        "SELECT doc_id, length(text) AS len_chars, "
+        f"{TX.SQL_TOKEN_COUNT.format(c='text')} AS n_tokens, "
+        f"{TX.SQL_PUNCT_RATIO.format(c='text')} AS punct_ratio, "
+        f"{TX.sql_quality_score('text')} AS quality, "
+        f"{TX.sql_lang_guess('text')} AS lang_guess, "
+        f"{_fp} AS fp "
+        "FROM documents"
+    )
+    o["token_histogram"] = (
+        f"SELECT t.token, count(*) AS n FROM documents, "
+        f"unnest({_toks}) AS t(token) GROUP BY t.token"
+    )
+
+    o["ann_cosine_topk"] = (
+        "WITH q AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings WHERE vec_id < 5), "
+        "c AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings), "
+        "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        "round(list_dot_product(q.e, c.e) "
+        "/ (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) "
+        "AS cosine FROM q, c WHERE q.vec_id != c.vec_id) "
+        "SELECT query_id, neighbor_id, cosine, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS INT) AS rank "
+        "FROM scored QUALIFY rank <= 10"
+    )
+
+    # no oracles (not SQL-expressible / engine-specific hashing):
+    # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, multimodal_features
+    return o

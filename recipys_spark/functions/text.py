@@ -54,10 +54,7 @@ def quality_score(col) -> "F.Column":
     100 tokens) and stopword presence, penalize punctuation soup."""
     length_term = F.least(F.lit(1.0), token_count(col) / F.lit(100.0))
     stop_term = F.least(F.lit(1.0), stopword_ratio(col, "en") * F.lit(4.0))
-    return F.round(
-        length_term * (F.lit(1.0) - punct_ratio(col)) * (F.lit(0.5) + stop_term / 2),
-        6,
-    )
+    return length_term * (F.lit(1.0) - punct_ratio(col)) * (F.lit(0.5) + stop_term / 2)
 
 
 def lang_guess(col) -> "F.Column":
@@ -122,8 +119,8 @@ def sql_quality_score(c: str) -> str:
     pr = SQL_PUNCT_RATIO.format(c=c)
     sw = sql_stopword_count(c, "en")
     return (
-        f"round(least(1.0, {tc} / 100.0) * (1.0 - {pr}) "
-        f"* (0.5 + least(1.0, ({sw} / CAST({tc} AS DOUBLE)) * 4.0) / 2), 6)"
+        f"least(1.0, {tc} / 100.0) * (1.0 - {pr}) "
+        f"* (0.5 + least(1.0, ({sw} / CAST({tc} AS DOUBLE)) * 4.0) / 2)"
     )
 
 

@@ -44,8 +44,16 @@ def _tolerance_seconds(tolerance: Union[str, int, float, None]) -> Optional[floa
     return float(tolerance)
 
 
-def _ts_num(col):
-    """Orderable numeric form of a ts column (timestamp or numeric)."""
+def _ts_num(col, dtype):
+    """Numeric (epoch-seconds or as-is) form of a ts column for
+    tolerance arithmetic. TIMESTAMP_NTZ has no direct double cast in
+    Spark 4 — route through TIMESTAMP (session tz; cancels in the
+    subtraction)."""
+    name = dtype.simpleString()
+    if name == "timestamp_ntz":
+        return col.cast("timestamp").cast("double")
+    if name in ("timestamp", "date"):
+        return col.cast("double")
     return col.cast("double")
 
 
@@ -76,10 +84,12 @@ def asof_join(
         cond = F.lit(True)
         for k in keys:
             cond = cond & (F.col(k) == F.col(f"__r_{k}"))
-        cond = cond & (_ts_num(F.col("__r_ts")) <= _ts_num(F.col(left_ts)))
+        lt = left.schema[left_ts].dataType
+        rt = right.schema[right_ts].dataType
+        cond = cond & (_ts_num(F.col("__r_ts"), rt) <= _ts_num(F.col(left_ts), lt))
         if tol is not None:
             cond = cond & (
-                _ts_num(F.col(left_ts)) - _ts_num(F.col("__r_ts")) <= F.lit(tol)
+                _ts_num(F.col(left_ts), lt) - _ts_num(F.col("__r_ts"), rt) <= F.lit(tol)
             )
         # latest matching right row per left row
         joined = left.withColumn("__lid", F.monotonically_increasing_id()).join(
@@ -134,7 +144,9 @@ def asof_join(
     ).where(F.col(_SIDE) == 1)
 
     if tol is not None:
-        in_tol = (_ts_num(F.col("__ts")) - _ts_num(F.col(_MATCH_TS))) <= F.lit(tol)
+        lt = left.schema[left_ts].dataType
+        rt = right.schema[right_ts].dataType
+        in_tol = (_ts_num(F.col("__ts"), lt) - _ts_num(F.col(_MATCH_TS), rt)) <= F.lit(tol)
         vals = [
             F.when(in_tol, F.col(f"__m_{c}")).alias(out_names[c]) for c in value_cols
         ]

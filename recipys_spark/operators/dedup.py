@@ -77,7 +77,7 @@ def jaccard_pairs(
         joined.select(
             F.col(id_col).alias("id_a"),
             F.col("__idb").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
+            jac.alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -156,7 +156,7 @@ def minhash_lsh_pairs(
     union = F.size(F.array_union("__ta", "__tb")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return cand.select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+        "id_a", "id_b", jac.alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
 
 

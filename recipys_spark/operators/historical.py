@@ -46,14 +46,20 @@ def historical_expr(col: str, fun: Accumulator, frame) -> "F.Column":
     if fun is Accumulator.MIN:
         return F.when(c.isNotNull(), F.min(c).over(frame))
     if fun is Accumulator.MEAN:
-        return F.avg(c).over(frame)
+        # exact decimal accumulation: bit-identical at any parallelism
+        # (north-rule determinism) — see functions/deterministic.py
+        from recipys_spark.functions.deterministic import det_mean
+
+        return det_mean(c, frame)
     if fun is Accumulator.MEDIAN:
         # exact interpolated median, matching pandas expanding().median()
         return F.percentile(c, F.lit(0.5)).over(frame)
     if fun is Accumulator.COUNT:
         return F.count(c).over(frame)
     if fun is Accumulator.VAR:
-        return F.var_samp(c).over(frame)
+        from recipys_spark.functions.deterministic import det_var_samp
+
+        return det_var_samp(c, frame)
     raise TypeError(f"Expected a historical Accumulator, got {fun!r}")
 
 

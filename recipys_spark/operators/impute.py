@@ -84,7 +84,9 @@ class StepImputeFill(Step):
             elif self.strategy == "one":
                 filled = F.coalesce(col, F.lit(1).cast(df.schema[c].dataType))
             elif self.strategy == "mean":
-                filled = F.coalesce(col, F.avg(col).over(group_frame(groups)))
+                from recipys_spark.functions.deterministic import det_mean
+
+                filled = F.coalesce(col, det_mean(col, group_frame(groups)))
             elif self.strategy == "min":
                 filled = F.coalesce(col, F.min(col).over(group_frame(groups)))
             elif self.strategy == "max":

@@ -70,9 +70,17 @@ class StepScale(_FittedStep):
         self.desc = "Scale with mean and std"
 
     def do_fit(self, ingredients: Ingredients) -> None:
+        # deterministic (order-independent) fit stats — identical at any
+        # executor count; see functions/deterministic.py
+        from recipys_spark.functions.deterministic import det_mean, det_stddev_pop
+
         aggs = []
         for c in self.columns:
-            aggs += [F.avg(c).alias(f"{c}__mean"), F.stddev_pop(c).alias(f"{c}__std")]
+            col = F.col(c)
+            aggs += [
+                det_mean(col).alias(f"{c}__mean"),
+                det_stddev_pop(col).alias(f"{c}__std"),
+            ]
         row = ingredients.df.agg(*aggs).first().asDict()
         self.state = {
             c: {"mean": row[f"{c}__mean"], "std": row[f"{c}__std"]}
