@@ -361,8 +361,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # xxhash-based: no SQL mirror → rows-only check
+    # bands=4 → r=8 rows/band: collision threshold (1/b)^(1/r) ≈ 0.84,
+    # matched to the 0.8 verify threshold so candidates stay sparse
+    # even on high-baseline-similarity corpora
     q["dedup_minhash_lsh"] = lambda s, d: minhash_lsh_pairs(
-        _t(s, d, "documents"), num_hashes=32, bands=8, threshold=0.8
+        _t(s, d, "documents"), num_hashes=32, bands=4, threshold=0.8
     )
     q["dedup_simhash"] = lambda s, d: simhash_clusters(_t(s, d, "documents"))
 

@@ -1,0 +1,121 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "turns_per_sec": ...}
+
+Each query is materialized with the noop sink (all columns computed —
+count() alone would let Catalyst prune the very work being measured).
+Also times the flagship transcript recipe-bake and reports turns/sec,
+the BASELINE.json headline metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from recipys_spark import Accumulator, Recipe
+from recipys_spark.operators import (
+    StepHistorical,
+    StepImputeFill,
+    StepLag,
+    StepSessionize,
+)
+from recipys_spark.selector import all_of
+from recipys_spark.sources.io import get_spark, synthetic_transcripts
+
+HEADLINE = [
+    "hist_mean",
+    "hist_max",
+    "hist_var",
+    "impute_ffill",
+    "impute_ffill_limit",
+    "lag_lead",
+    "sessionize",
+    "resample_2h_agg",
+    "asof_join",
+    "scale_standard",
+    "ordinal_encode",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_features",
+    "token_histogram",
+    "ann_cosine_topk",
+]
+
+# transcript volume for the recipe-bake throughput number
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "150000"))
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bake_recipe(df):
+    """The flagship recipe: 4 window steps sharing one conv window."""
+    rec = (
+        Recipe(
+            df,
+            predictors=["value", "n_chars"],
+            groups="conv_id",
+            sequences=["turn_idx", "ts"],  # ts needed by sessionize
+        )
+        .add_step(StepHistorical(sel=all_of(["value"]), fun=Accumulator.MEAN))
+        .add_step(StepHistorical(sel=all_of(["n_chars"]), fun=Accumulator.MAX))
+        .add_step(StepImputeFill(sel=all_of(["value"]), strategy="forward"))
+        .add_step(StepLag(sel=all_of(["value"]), lags=(1,)))
+        .add_step(StepSessionize(gap="30m"))
+    )
+    return rec.prep()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(parallelism=cpus, app_name="recipys_spark_bench",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.time()
+        materialize(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    # transcript recipe-bake throughput (the BASELINE.json metric)
+    tdir = f"/tmp/recipys_bench_transcripts_{BENCH_CONVS}"
+    if not os.path.exists(tdir):
+        synthetic_transcripts(
+            spark, n_convs=BENCH_CONVS, skew=True, skew_factor=100, with_features=True
+        ).write.mode("overwrite").parquet(tdir)
+    tdf = spark.read.parquet(tdir)
+    n_turns = tdf.count()
+    t0 = time.time()
+    materialize(bake_recipe(tdf))
+    bake_s = time.time() - t0
+    timings["recipe_bake_transcripts"] = round(bake_s, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline query suite wall time (noop-materialized) + transcript recipe-bake",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": cpus,
+        "bake_turns": n_turns,
+        "turns_per_sec": round(n_turns / bake_s, 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -103,17 +103,29 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
+    link: str = "star",
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, Jaccard-verified.
 
     Signature of ``num_hashes`` minhashes split into ``bands`` bands of
     ``num_hashes/bands`` rows; docs sharing any band key become
     candidates (P[candidate] ≈ 1-(1-j^r)^b); candidates get their exact
-    token-set Jaccard and only pairs ≥ threshold survive. Shuffles:
-    one explode+groupBy on band keys, one join back per side — no
-    all-pairs product."""
+    token-set Jaccard and only pairs ≥ threshold survive.
+
+    Scale design:
+    - candidates carry (id, band key) ONLY — token arrays never ride
+      the band shuffle (at 100 TB they'd dominate shuffle volume);
+    - ``link='star'`` (default): within each bucket, every doc pairs
+      only with the bucket's min id — O(n·bands) edges instead of the
+      O(k²)-per-bucket explosion a large duplicate cluster causes
+      (a 10^6-doc boilerplate cluster is 5·10^11 pairs linked
+      pairwise, but 10^6 star edges; dedup needs the cluster, not the
+      clique). ``link='all'`` gives the full pairwise edges for small
+      corpora/analysis."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
+    if link not in ("star", "all"):
+        raise ValueError("link must be 'star' or 'all'")
     r = num_hashes // bands
     docs = df.select(
         F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("__toks")
@@ -123,7 +135,6 @@ def minhash_lsh_pairs(
     )
     banded = sig.select(
         id_col,
-        "__toks",
         F.explode(
             F.array(
                 *[
@@ -139,18 +150,33 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("__band"),
-    ).select(id_col, "__toks", "__band.band", "__band.key")
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta"), "band", "key"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb"), "band", "key"
-    )
+    ).select(id_col, "__band.band", "__band.key")
+    if link == "star":
+        hub = Window.partitionBy("band", "key")
+        cand = (
+            banded.withColumn("__hub", F.min(id_col).over(hub))
+            .where(F.col(id_col) != F.col("__hub"))
+            .select(F.col("__hub").alias("id_a"), F.col(id_col).alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+        right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+        cand = (
+            left.join(right, ["band", "key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    # verify: join the token sets back (two hash joins on doc id)
     cand = (
-        left.join(right, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ta", "__tb")
-        .dropDuplicates(["id_a", "id_b"])
+        cand.join(
+            docs.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta")),
+            "id_a",
+        ).join(
+            docs.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb")),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("__ta", "__tb")).cast("double")
     union = F.size(F.array_union("__ta", "__tb")).cast("double")
@@ -158,6 +184,37 @@ def minhash_lsh_pairs(
     return cand.select(
         "id_a", "id_b", jac.alias("jaccard")
     ).where(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc near-dup labels: (id, cluster_id, is_duplicate).
+
+    cluster_id = the doc's verified star hub (min id among its verified
+    near-dup edges), or the doc's own id if it has none. One label-
+    propagation pass covers the common boilerplate-cluster case; chains
+    longer than one hop keep distinct hubs (documented approximation —
+    run the pass iteratively for full connected components)."""
+    edges = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, threshold, seed, link="star"
+    )
+    hubs = edges.groupBy("id_b").agg(F.min("id_a").alias("__hub"))
+    return (
+        df.select(F.col(id_col))
+        .join(hubs.withColumnRenamed("id_b", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__hub", F.col(id_col)).alias("cluster_id"),
+            F.col("__hub").isNotNull().alias("is_duplicate"),
+        )
+    )
 
 
 def simhash_clusters(
