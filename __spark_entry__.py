@@ -189,6 +189,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lag_lead"] = lag_lead
 
+    def rolling3(s, d):
+        from recipys_spark.operators import StepRolling
+
+        ev = _events_with_nulls(s, d)
+        rec = Recipe(ev, predictors=["value_n"], groups="user_id", sequences="ts")
+        rec.add_step(StepRolling(sel=all_of(["value_n"]), fun=Accumulator.MEAN, window=3))
+        return rec.prep().select(*_EVENTS_KEYS, "value_n", "value_n_roll3_mean")
+
+    q["rolling_mean_3"] = rolling3
+
     # -- sessionization (north_rule) -------------------------------------
     def sessionize(s, d):
         ev = _events_with_nulls(s, d)
@@ -353,6 +363,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["onehot_encode"] = onehot
 
+    # -- relational built-ins (§2.3 checklist: joins, top-k, json,
+    #    date functions, rollup) — expressed on the driver tables ------------
+    def join_bcast(s, d):
+        o = _t(s, d, "orders")
+        c = _t(s, d, "customer")
+        return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+            "o_orderkey", "c_name", "o_totalprice"
+        )
+
+    q["join_orders_customer"] = join_bcast
+
+    def topk(s, d):
+        from pyspark.sql import Window
+
+        ev = _t(s, d, "events")
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("value").desc(), F.col("event_id")
+        )
+        return (
+            ev.select("user_id", "event_id", "value", F.row_number().over(w).alias("rk"))
+            .where(F.col("rk") <= 3)
+        )
+
+    q["topk_per_user"] = topk
+
+    def json_props(s, d):
+        ev = _t(s, d, "events")
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+
+    q["json_extract"] = json_props
+
+    def date_parts(s, d):
+        ev = _t(s, d, "events")
+        return ev.select(
+            "event_id",
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("dom"),
+            F.hour("ts").alias("h"),
+        )
+
+    q["date_parts"] = date_parts
+
+    def rollup_counts(s, d):
+        ev = _t(s, d, "events")
+        return ev.rollup("event_type").agg(
+            F.count("*").alias("n"),
+            F.max("value").alias("max_value"),
+        )
+
+    q["rollup_counts"] = rollup_counts
+
     # -- dedup ---------------------------------------------------------------
     q["dedup_exact"] = lambda s, d: exact_dedup(_t(s, d, "documents")).select("doc_id")
 
@@ -441,6 +506,13 @@ def oracle_sql() -> dict[str, str]:
     )
     o["hist_count"] = _hist_sql(f"count(value_n) {fr}", "value_n_count")
     o["hist_var"] = _hist_sql(sql_det_var_samp("value_n", fr), "value_n_var")
+    roll_fr = (
+        "OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    )
+    o["rolling_mean_3"] = _hist_sql(
+        sql_det_mean("value_n", roll_fr), "value_n_roll3_mean"
+    )
 
     o["impute_ffill"] = (
         f"SELECT event_id, user_id, ts, coalesce(value_n, "
@@ -574,6 +646,29 @@ def oracle_sql() -> dict[str, str]:
         "(o_orderpriority = '4-NOT SPECIFIED')::int AS OneHotEncoder_4, "
         "(o_orderpriority = '5-LOW')::int AS OneHotEncoder_5 "
         "FROM orders"
+    )
+
+    o["join_orders_customer"] = (
+        "SELECT o_orderkey, c_name, o_totalprice FROM orders "
+        "JOIN customer ON o_custkey = c_custkey"
+    )
+    o["topk_per_user"] = (
+        "SELECT user_id, event_id, value, rk FROM ("
+        "SELECT user_id, event_id, value, CAST(row_number() OVER "
+        "(PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rk "
+        "FROM events) WHERE rk <= 3"
+    )
+    o["json_extract"] = (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k "
+        "FROM events"
+    )
+    o["date_parts"] = (
+        "SELECT event_id, CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m, "
+        "CAST(day(ts) AS INT) AS dom, CAST(hour(ts) AS INT) AS h FROM events"
+    )
+    o["rollup_counts"] = (
+        "SELECT event_type, count(*) AS n, max(value) AS max_value "
+        "FROM events GROUP BY ROLLUP(event_type)"
     )
 
     _fp = TX.SQL_FINGERPRINT.format(c="text")

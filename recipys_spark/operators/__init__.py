@@ -1,7 +1,7 @@
 """Step operator library: lazy Spark-DataFrame transforms."""
 
 from recipys_spark.operators.base import Accumulator, Step, StepFunction
-from recipys_spark.operators.historical import StepHistorical
+from recipys_spark.operators.historical import StepHistorical, StepRolling
 from recipys_spark.operators.impute import (
     StepImputeFastForwardFill,
     StepImputeFastZeroFill,
@@ -54,6 +54,7 @@ __all__ = [
     "StepOrdinalEncode",
     "StepQuantileTransform",
     "StepResampling",
+    "StepRolling",
     "StepRobustScale",
     "StepScale",
     "StepSessionize",

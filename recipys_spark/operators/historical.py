@@ -63,6 +63,63 @@ def historical_expr(col: str, fun: Accumulator, frame) -> "F.Column":
     raise TypeError(f"Expected a historical Accumulator, got {fun!r}")
 
 
+class StepRolling(Step):
+    """Trailing rolling-window accumulator over the prior ``window``
+    rows *including the current row* (pandas ``rolling(window,
+    min_periods=1)`` semantics): adds ``{c}_roll{window}_{fun}``.
+
+    Engine extension beyond the reference (its windows are expanding
+    only); same shared conversation window spec, bounded row frame."""
+
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        fun: Accumulator = Accumulator.MEAN,
+        window: int = 3,
+        suffix: Optional[str] = None,
+        role: str = "predictor",
+    ) -> None:
+        super().__init__(sel if sel is not None else all_numeric_predictors())
+        if not isinstance(fun, Accumulator):
+            raise TypeError(f"Expected Accumulator enum for function, got {type(fun)}")
+        if fun in (Accumulator.FIRST, Accumulator.LAST):
+            raise TypeError(f"FIRST/LAST are resampling-only policies, got {fun}")
+        if window < 1:
+            raise ValueError("window must be >= 1")
+        self.fun = fun
+        self.window = window
+        self.suffix = suffix if suffix is not None else f"roll{window}_{fun.value}"
+        self.role = role
+        self.desc = f"Rolling {fun} over {window} rows"
+
+    def new_column_roles(self) -> dict[str, str]:
+        return {f"{c}_{self.suffix}": self.role for c in self.columns}
+
+    def do_transform(self, ingredients: Ingredients):
+        from recipys_spark.functions.windows import trailing
+
+        if not self.sequence_columns:
+            raise ValueError("StepRolling requires a sequence role column")
+        frame = trailing(self.group_columns, self.sequence_columns, self.window - 1)
+        exprs = [
+            rolling_expr(c, self.fun, frame).alias(f"{c}_{self.suffix}")
+            for c in self.columns
+        ]
+        return ingredients.df.select("*", *exprs)
+
+
+def rolling_expr(col: str, fun: Accumulator, frame) -> "F.Column":
+    """Bounded-frame accumulator with pandas ``rolling(min_periods=1)``
+    semantics: unlike the cum_max/cum_min expanding family, MAX/MIN
+    emit the window aggregate even at null-input rows."""
+    c = F.col(col)
+    if fun is Accumulator.MAX:
+        return F.max(c).over(frame)
+    if fun is Accumulator.MIN:
+        return F.min(c).over(frame)
+    return historical_expr(col, fun, frame)
+
+
 class StepHistorical(Step):
     def __init__(
         self,

@@ -47,7 +47,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "8g")
+        # single-JVM local mode: driver heap IS the executor heap; an
+        # undersized heap turns window sorts into spill+GC thrash
+        .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

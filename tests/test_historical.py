@@ -91,3 +91,28 @@ def test_prep_equals_bake(spark, example_recipe):
     b = collect_sorted(example_recipe.bake())
     for c in a.columns:
         np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy())
+
+
+def test_rolling_matches_pandas(spark):
+    from recipys_spark.operators import StepRolling
+
+    pdf = make_example_pdf(nan_x1=True)
+    rec = Recipe(
+        spark.createDataFrame(pdf),
+        outcomes="y",
+        predictors=["x1", "x2"],
+        groups="id",
+        sequences="time",
+    )
+    rec.add_step(StepRolling(sel=all_numeric_predictors(), fun=Accumulator.MEAN, window=3))
+    rec.add_step(StepRolling(sel=all_numeric_predictors(), fun=Accumulator.MAX, window=2))
+    got = collect_sorted(rec.prep())
+    g = pdf.groupby("id")
+    exp_mean = g["x1"].rolling(3, min_periods=1).mean().reset_index(drop=True)
+    exp_max = g["x1"].rolling(2, min_periods=1).max().reset_index(drop=True)
+    np.testing.assert_allclose(
+        got["x1_roll3_mean"].to_numpy(), exp_mean.to_numpy(), equal_nan=True
+    )
+    np.testing.assert_allclose(
+        got["x1_roll2_max"].to_numpy(), exp_max.to_numpy(), equal_nan=True
+    )

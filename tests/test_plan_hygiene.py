@@ -1,0 +1,115 @@
+"""Physical-plan hygiene: the scale properties SURVEY.md §4 promises.
+
+These tests inspect ``explain`` output rather than results:
+- window fusion: a recipe of N window steps sharing the canonical
+  (partitionBy, orderBy) spec must compile to ONE shuffle (Exchange)
+  and ONE sort, not N;
+- column pruning: a projection of 2 columns must reach the parquet
+  scan's ReadSchema;
+- predicate pushdown: a filter must appear in PushedFilters;
+- broadcast: the as-of broadcast strategy must plan a
+  BroadcastHashJoin / BroadcastNestedLoopJoin, not a sort-merge join.
+"""
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from recipys_spark import Accumulator, Recipe
+from recipys_spark.operators import (
+    StepHistorical,
+    StepImputeFill,
+    StepLag,
+    StepRolling,
+    StepSessionize,
+    asof_join,
+)
+from recipys_spark.selector import all_of
+from recipys_spark.sources.io import synthetic_transcripts
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "t")
+    synthetic_transcripts(spark, n_convs=50, with_features=True).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_recipe_windows_fuse_into_one_shuffle(spark, transcripts):
+    rec = (
+        Recipe(
+            transcripts,
+            predictors=["value", "n_chars"],
+            groups="conv_id",
+            sequences=["turn_idx", "ts"],
+        )
+        .add_step(StepHistorical(sel=all_of(["value"]), fun=Accumulator.MEAN))
+        .add_step(StepHistorical(sel=all_of(["n_chars"]), fun=Accumulator.MAX))
+        .add_step(StepImputeFill(sel=all_of(["value"]), strategy="forward"))
+        .add_step(StepLag(sel=all_of(["value"]), lags=(1,)))
+        .add_step(StepSessionize(gap="30m"))
+        .add_step(StepRolling(sel=all_of(["value"]), fun=Accumulator.MEAN, window=3))
+    )
+    plan = plan_of(rec.prep())
+    n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+    n_sort = len(re.findall(r"\bSort \[", plan))
+    assert n_exchange == 1, f"expected 1 shuffle for 6 fused window steps, got {n_exchange}:\n{plan}"
+    # ffill/sessionize/rolling use different frames but the same
+    # (partition, order): one sort should serve them all
+    assert n_sort == 1, f"expected 1 sort, got {n_sort}:\n{plan}"
+
+
+def test_column_pruning_reaches_scan(spark, transcripts):
+    out = transcripts.select("conv_id", "turn_idx")
+    plan = plan_of(out)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"conv_id", "turn_idx"}, plan
+
+
+def test_predicate_pushdown_reaches_scan(spark, transcripts):
+    out = transcripts.where(F.col("turn_idx") > 3).select("conv_id", "turn_idx")
+    plan = plan_of(out)
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(turn_idx,3\)", plan), plan
+
+
+def test_asof_broadcast_strategy_broadcasts(spark, transcripts):
+    feats = transcripts.where("role = 'tool'").select(
+        "conv_id", F.col("ts").alias("fts"), F.col("n_chars").alias("feat")
+    )
+    out = asof_join(
+        transcripts.select("conv_id", "turn_idx", "ts"),
+        feats,
+        on="conv_id",
+        left_ts="ts",
+        right_ts="fts",
+        strategy="broadcast",
+    )
+    plan = plan_of(out)
+    assert "Broadcast" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_asof_union_strategy_single_window_pass(spark, transcripts):
+    feats = transcripts.where("role = 'tool'").select(
+        "conv_id", F.col("ts").alias("fts"), F.col("n_chars").alias("feat")
+    )
+    out = asof_join(
+        transcripts.select("conv_id", "turn_idx", "ts"),
+        feats,
+        on="conv_id",
+        left_ts="ts",
+        right_ts="fts",
+        strategy="union",
+    )
+    plan = plan_of(out)
+    assert len(re.findall(r"\bWindow\b", plan)) == 1, plan
+    # no join at all in the union strategy
+    assert "Join" not in plan, plan
