@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from recipys_spark.operators.base import Accumulator
+from recipys_spark.functions.deterministic import DEC as _DEC
 
 _BUCKET = "__skew_bucket"
 
@@ -74,23 +75,27 @@ def salted_expanding(
             run_exprs.append(F.count(col).over(intra).alias(f"__run_cnt_{c}"))
             total_aggs.append(F.count(col).alias(f"__tot_cnt_{c}"))
         elif fun is Accumulator.MEAN:
+            # decimal accumulation: salted result is bit-identical to
+            # the plain det_mean path (functions/deterministic.py)
+            cd = col.cast(_DEC)
             run_exprs += [
-                F.sum(col).over(intra).alias(f"__run_sum_{c}"),
+                F.sum(cd).over(intra).alias(f"__run_sum_{c}"),
                 F.count(col).over(intra).alias(f"__run_cnt_{c}"),
             ]
             total_aggs += [
-                F.sum(col).alias(f"__tot_sum_{c}"),
+                F.sum(cd).alias(f"__tot_sum_{c}"),
                 F.count(col).alias(f"__tot_cnt_{c}"),
             ]
         elif fun is Accumulator.VAR:
-            sq = col.cast("double") * col.cast("double")
+            cd = col.cast(_DEC)
+            sq = (col.cast("double") * col.cast("double")).cast(_DEC)
             run_exprs += [
-                F.sum(col).over(intra).alias(f"__run_sum_{c}"),
+                F.sum(cd).over(intra).alias(f"__run_sum_{c}"),
                 F.count(col).over(intra).alias(f"__run_cnt_{c}"),
                 F.sum(sq).over(intra).alias(f"__run_sq_{c}"),
             ]
             total_aggs += [
-                F.sum(col).alias(f"__tot_sum_{c}"),
+                F.sum(cd).alias(f"__tot_sum_{c}"),
                 F.count(col).alias(f"__tot_cnt_{c}"),
                 F.sum(sq).alias(f"__tot_sq_{c}"),
             ]
@@ -150,23 +155,168 @@ def salted_expanding(
                 ).alias(name)
             )
         elif fun is Accumulator.MEAN:
+            zero = F.lit(0).cast(_DEC)
             n = F.coalesce(F.col(f"__pre_cnt_{c}"), F.lit(0)) + F.col(f"__run_cnt_{c}")
-            s = F.coalesce(F.col(f"__pre_sum_{c}"), F.lit(0.0)) + F.coalesce(
-                F.col(f"__run_sum_{c}"), F.lit(0.0)
-            )
+            s = (
+                F.coalesce(F.col(f"__pre_sum_{c}"), zero)
+                + F.coalesce(F.col(f"__run_sum_{c}"), zero)
+            ).cast("double")
             out_exprs.append(F.when(n > 0, s / n).alias(name))
         elif fun is Accumulator.VAR:
-            n = (
+            zero = F.lit(0).cast(_DEC)
+            n_long = (
                 F.coalesce(F.col(f"__pre_cnt_{c}"), F.lit(0))
                 + F.col(f"__run_cnt_{c}")
+            )
+            n = n_long.cast("double")
+            s = (
+                F.coalesce(F.col(f"__pre_sum_{c}"), zero)
+                + F.coalesce(F.col(f"__run_sum_{c}"), zero)
             ).cast("double")
-            s = F.coalesce(F.col(f"__pre_sum_{c}"), F.lit(0.0)) + F.coalesce(
-                F.col(f"__run_sum_{c}"), F.lit(0.0)
-            )
-            sq = F.coalesce(F.col(f"__pre_sq_{c}"), F.lit(0.0)) + F.coalesce(
-                F.col(f"__run_sq_{c}"), F.lit(0.0)
-            )
+            sq = (
+                F.coalesce(F.col(f"__pre_sq_{c}"), zero)
+                + F.coalesce(F.col(f"__run_sq_{c}"), zero)
+            ).cast("double")
             var = (sq - s * s / n) / (n - F.lit(1.0))
-            out_exprs.append(F.when(n > 1, var).alias(name))
+            out_exprs.append(F.when(n_long > 1, F.greatest(var, F.lit(0.0))).alias(name))
 
     return joined.select(*base_cols, *out_exprs)
+
+
+def salted_ffill(
+    df: DataFrame,
+    cols: Sequence[str],
+    groups: Sequence[str],
+    sequence: str,
+    bucket_size: int,
+) -> DataFrame:
+    """Two-phase group-scoped forward fill for skewed groups.
+
+    Phase 1 forward-fills within (group, bucket); phase 2 computes each
+    bucket's last non-null value per column and forward-fills THOSE
+    over prior buckets (tiny table); phase 3 coalesces. Exactly equal
+    to the single-window ffill."""
+    groups = list(groups)
+    base_cols = list(df.columns)
+    df = df.withColumn(_BUCKET, _bucket_expr(df, sequence, bucket_size))
+
+    intra = (
+        Window.partitionBy(*groups, _BUCKET)
+        .orderBy(sequence)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = df.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(intra).alias(f"__ff_{c}")
+            for c in cols
+        ],
+    )
+
+    # per-bucket last non-null value, order-sensitively via max_by
+    totals = df.groupBy(*groups, _BUCKET).agg(
+        *[
+            F.max_by(
+                F.col(c), F.when(F.col(c).isNotNull(), F.col(sequence))
+            ).alias(f"__lastv_{c}")
+            for c in cols
+        ]
+    )
+    prior = (
+        Window.partitionBy(*groups)
+        .orderBy(_BUCKET)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = totals.select(
+        *groups,
+        F.col(_BUCKET),
+        *[
+            F.last(f"__lastv_{c}", ignorenulls=True).over(prior).alias(f"__pre_{c}")
+            for c in cols
+        ],
+    )
+    joined = filled.join(prefix, on=[*groups, _BUCKET], how="left")
+    out = [
+        F.coalesce(F.col(f"__ff_{c}"), F.col(f"__pre_{c}")).alias(c)
+        if c in cols
+        else F.col(c)
+        for c in base_cols
+    ]
+    return joined.select(*out)
+
+
+def salted_sessionize(
+    df: DataFrame,
+    groups: Sequence[str],
+    ts: str,
+    gap_seconds: int,
+    bucket_size: int,
+    session_col: str = "session_id",
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Two-phase ts-gap sessionization for skewed groups.
+
+    New-session flags decompose: a row's flag needs only the previous
+    row's ts (the bucket boundary flag uses the prior bucket's max ts
+    from the summary table), and the session index is a running SUM of
+    flags — prefix-sum over prior buckets + intra-bucket cumsum."""
+    groups = list(groups)
+    order_cols = list(order_cols) or [ts]
+    base_cols = list(df.columns)
+    df = df.withColumn(_BUCKET, _bucket_expr(df, ts, bucket_size))
+
+    w_intra = Window.partitionBy(*groups, _BUCKET).orderBy(*order_cols)
+    prev_ts = F.lag(ts).over(w_intra)
+    tsd = F.col(ts).cast("timestamp").cast("double")
+    prev_d = prev_ts.cast("timestamp").cast("double")
+    intra_flag = F.when(
+        prev_ts.isNull(), F.lit(None)
+    ).otherwise((tsd - prev_d > F.lit(float(gap_seconds))).cast("long"))
+
+    totals = df.groupBy(*groups, _BUCKET).agg(
+        F.min(tsd).alias("__min_ts"),
+        F.max(tsd).alias("__max_ts"),
+    )
+    w_prior = Window.partitionBy(*groups).orderBy(_BUCKET)
+    prev_max = F.lag("__max_ts").over(w_prior)
+    boundary_flag = F.when(prev_max.isNull(), F.lit(1)).otherwise(
+        (F.col("__min_ts") - prev_max > F.lit(float(gap_seconds))).cast("long")
+    )
+    # intra-bucket flag sums come from the rows; compute per-bucket row
+    # flag totals, then prefix-sum (boundary + intra) over prior buckets
+    row_flags = df.select(
+        *groups, _BUCKET, intra_flag.alias("__flag")
+    ).groupBy(*groups, _BUCKET).agg(F.sum("__flag").alias("__intra_sum"))
+    buckets = (
+        totals.join(row_flags, [*groups, _BUCKET])
+        .select(
+            *groups,
+            F.col(_BUCKET),
+            (boundary_flag + F.coalesce(F.col("__intra_sum"), F.lit(0))).alias(
+                "__bucket_sessions"
+            ),
+            boundary_flag.alias("__boundary_flag"),
+        )
+    )
+    prior_sum = (
+        Window.partitionBy(*groups)
+        .orderBy(_BUCKET)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = buckets.select(
+        *groups,
+        F.col(_BUCKET),
+        F.coalesce(F.sum("__bucket_sessions").over(prior_sum), F.lit(0)).alias(
+            "__pre_sessions"
+        ),
+        "__boundary_flag",
+    )
+    frame = Window.partitionBy(*groups, _BUCKET).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = df.join(prefix, on=[*groups, _BUCKET], how="left")
+    intra_cum = F.coalesce(F.sum(intra_flag).over(frame), F.lit(0))
+    session = (
+        F.col("__pre_sessions") + F.col("__boundary_flag") + intra_cum - F.lit(1)
+    ).cast("long")
+    return joined.select(*base_cols, session.alias(session_col))

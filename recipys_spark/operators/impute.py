@@ -58,6 +58,7 @@ class StepImputeFill(Step):
         value=None,
         strategy: Optional[str] = None,
         limit: Optional[int] = None,
+        skew_bucket_size: Optional[int] = None,
     ) -> None:
         super().__init__(sel if sel is not None else all_predictors())
         if (value is None) == (strategy is None):
@@ -66,14 +67,27 @@ class StepImputeFill(Step):
             raise ValueError(f"strategy must be one of {_STRATEGIES}, got {strategy!r}")
         if limit is not None and strategy not in ("forward", "backward"):
             raise ValueError("limit is only meaningful for forward/backward strategies")
+        if skew_bucket_size is not None and (strategy != "forward" or limit is not None):
+            raise ValueError(
+                "skew_bucket_size is implemented for the unbounded forward strategy"
+            )
         self.value = value
         self.strategy = strategy
         self.limit = limit
+        self.skew_bucket_size = skew_bucket_size
         self.desc = f"Impute with {strategy if strategy else value}"
 
     def do_transform(self, ingredients: Ingredients):
         df = ingredients.df
         groups, seq = self.group_columns, self.sequence_columns
+        if self.skew_bucket_size is not None:
+            from recipys_spark.functions.skew import salted_ffill
+
+            if not seq:
+                raise ValueError("forward fill requires a sequence role column")
+            return salted_ffill(
+                df, self.columns, groups, seq[0], self.skew_bucket_size
+            )
         out = {}
         for c in self.columns:
             col = F.col(c)

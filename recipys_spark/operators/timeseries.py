@@ -211,11 +211,13 @@ class StepSessionize(Step):
         gap: str = "30m",
         session_col: str = "session_id",
         role: str = "predictor",
+        skew_bucket_size: Optional[int] = None,
     ) -> None:
         super().__init__(Selector("sessionize"))
         self.gap = gap
         self.session_col = session_col
         self.role = role
+        self.skew_bucket_size = skew_bucket_size
         self.desc = f"Sessionize with gap {gap}"
 
     def new_column_roles(self) -> dict[str, str]:
@@ -233,12 +235,26 @@ class StepSessionize(Step):
         ts = ts_cols[0]
         gap_s = parse_resolution(self.gap)
         df = ingredients.df
+        if self.skew_bucket_size is not None:
+            from recipys_spark.functions.skew import salted_sessionize
+
+            return salted_sessionize(
+                df,
+                groups=self.group_columns,
+                ts=ts,
+                gap_seconds=gap_s,
+                bucket_size=self.skew_bucket_size,
+                session_col=self.session_col,
+                order_cols=seq,
+            )
         w = conv_window(self.group_columns, seq)
         prev_ts = F.lag(ts).over(w)
-        is_new = (
-            prev_ts.isNull()
-            | ((F.unix_timestamp(ts) - F.unix_timestamp(prev_ts)) > F.lit(gap_s))
-        ).cast("long")
+        # fractional-second gap (unix_timestamp truncates to seconds,
+        # which would disagree with epoch()-based oracles and the
+        # salted path on sub-second timestamps)
+        tsd = F.col(ts).cast("timestamp").cast("double")
+        prevd = prev_ts.cast("timestamp").cast("double")
+        is_new = (prev_ts.isNull() | ((tsd - prevd) > F.lit(float(gap_s)))).cast("long")
         from pyspark.sql import Window
 
         frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -160,3 +160,71 @@ def test_leakage_prefix_invariance(spark, transcripts):
         np.testing.assert_array_equal(
             prefix[col].to_numpy(), full_prefix[col].to_numpy(), err_msg=col
         )
+
+
+def test_salted_ffill_equals_plain(spark, transcripts):
+    plain = (
+        _recipe(transcripts)
+        .add_step(StepImputeFill(sel=all_of(["value"]), strategy="forward"))
+        .prep()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    salted = (
+        _recipe(transcripts)
+        .add_step(
+            StepImputeFill(sel=all_of(["value"]), strategy="forward", skew_bucket_size=16)
+        )
+        .prep()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    np.testing.assert_array_equal(
+        salted["value"].to_numpy(), plain["value"].to_numpy()
+    )
+
+
+def test_salted_sessionize_equals_plain(spark, transcripts):
+    from recipys_spark.operators import StepSessionize
+
+    def run(step):
+        rec = Recipe(
+            transcripts, groups="conv_id", sequences=["turn_idx", "ts"]
+        ).add_step(step)
+        return (
+            rec.prep()
+            .orderBy("conv_id", "turn_idx")
+            .select("conv_id", "turn_idx", "session_id")
+            .toPandas()
+        )
+
+    plain = run(StepSessionize(gap="30m"))
+    salted = run(StepSessionize(gap="30m", skew_bucket_size=7200))
+    np.testing.assert_array_equal(
+        salted["session_id"].to_numpy(), plain["session_id"].to_numpy()
+    )
+
+
+def test_salted_mean_bit_identical_to_plain(spark, transcripts):
+    """Decimal accumulation makes the salted MEAN path not just close
+    but bit-identical to the plain window path."""
+    plain = (
+        _recipe(transcripts)
+        .add_step(StepHistorical(sel=all_of(["value"]), fun=Accumulator.MEAN))
+        .prep()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    salted = (
+        _recipe(transcripts)
+        .add_step(
+            StepHistorical(sel=all_of(["value"]), fun=Accumulator.MEAN, skew_bucket_size=16)
+        )
+        .prep()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    a = plain["value_mean"].to_numpy()
+    b = salted["value_mean"].to_numpy()
+    both_nan = np.isnan(a) & np.isnan(b)
+    assert ((a == b) | both_nan).all()
