@@ -147,3 +147,24 @@ def test_invalid_args():
         StepImputeFill(strategy="sideways")
     with pytest.raises(ValueError):
         StepImputeFill(value=1, limit=2)
+
+
+def test_impute_model_applyinpandas(spark, pdf_nan):
+    """StepImputeModel: user model fn applied per-group via Arrow
+    batches (reference step.py:244-260)."""
+    from recipys_spark.operators import StepImputeModel
+
+    def model(pdf, group_cols):
+        out = pdf.copy()
+        out["x1"] = out["x1"].fillna(-1.0)
+        return out
+
+    rec = _recipe(spark, pdf_nan).add_step(
+        StepImputeModel(sel=all_of(["x1"]), model=model)
+    )
+    got = collect_sorted(rec.prep())
+    expected = pdf_nan["x1"].fillna(-1.0).to_numpy()
+    np.testing.assert_allclose(got["x1"].to_numpy(), expected)
+
+    with pytest.raises(ValueError):
+        StepImputeModel(sel=all_of(["x1"]))
