@@ -320,3 +320,70 @@ def salted_sessionize(
         F.col("__pre_sessions") + F.col("__boundary_flag") + intra_cum - F.lit(1)
     ).cast("long")
     return joined.select(*base_cols, session.alias(session_col))
+
+
+def salted_row_number(
+    df: DataFrame,
+    groups: Sequence[str],
+    sequence: str,
+    bucket_size: int,
+    out_col: str = "__rid",
+) -> DataFrame:
+    """Decomposable per-group row number: intra-bucket row_number +
+    count of rows in all prior buckets (tiny prefix table). Equal to
+    row_number() over the whole group, without a whole-group sort."""
+    groups = list(groups)
+    df = df.withColumn(_BUCKET, _bucket_expr(df, sequence, bucket_size))
+    intra = Window.partitionBy(*groups, _BUCKET).orderBy(sequence)
+    counts = df.groupBy(*groups, _BUCKET).agg(F.count("*").alias("__n"))
+    prior = (
+        Window.partitionBy(*groups)
+        .orderBy(_BUCKET)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = counts.select(
+        *groups,
+        F.col(_BUCKET),
+        F.coalesce(F.sum("__n").over(prior), F.lit(0)).alias("__pre_n"),
+    )
+    return (
+        df.join(prefix, [*groups, _BUCKET])
+        .withColumn(out_col, F.col("__pre_n") + F.row_number().over(intra))
+        .drop("__pre_n", _BUCKET)
+    )
+
+
+def salted_lag(
+    df: DataFrame,
+    cols: Sequence[str],
+    groups: Sequence[str],
+    sequence: str,
+    lags: Sequence[int],
+    bucket_size: int,
+    lead: bool = False,
+) -> DataFrame:
+    """Skew-proof lag/lead: decomposable row number, then a shifted
+    equi-join on (group, rid ± k). The join hash-partitions on the
+    row id, so a 10^9-turn conversation spreads across ALL partitions
+    instead of one window task; exactly equal to F.lag/F.lead."""
+    groups = list(groups)
+    base_cols = list(df.columns)
+    word = "lead" if lead else "lag"
+    with_rid = salted_row_number(df, groups, sequence, bucket_size)
+    out = with_rid
+    for k in lags:
+        shift = -int(k) if lead else int(k)
+        donor = with_rid.select(
+            *groups,
+            (F.col("__rid") + F.lit(shift)).alias("__rid"),
+            *[F.col(c).alias(f"__d_{c}_{k}") for c in cols],
+        )
+        out = out.join(donor, [*groups, "__rid"], "left")
+    return out.select(
+        *base_cols,
+        *[
+            F.col(f"__d_{c}_{k}").alias(f"{c}_{word}_{k}")
+            for c in cols
+            for k in lags
+        ],
+    )

@@ -128,16 +128,20 @@ class StepHistorical(Step):
         suffix: Optional[str] = None,
         role: str = "predictor",
         skew_bucket_size: Optional[int] = None,
+        median_via_pandas: bool = False,
     ) -> None:
         super().__init__(sel if sel is not None else all_numeric_predictors())
         if not isinstance(fun, Accumulator):
             raise TypeError(f"Expected Accumulator enum for function, got {type(fun)}")
         if fun in (Accumulator.FIRST, Accumulator.LAST):
             raise TypeError(f"FIRST/LAST are resampling-only policies, got {fun}")
+        if median_via_pandas and fun is not Accumulator.MEDIAN:
+            raise ValueError("median_via_pandas applies only to MEDIAN")
         self.fun = fun
         self.suffix = suffix if suffix is not None else fun.value
         self.role = role
         self.skew_bucket_size = skew_bucket_size
+        self.median_via_pandas = median_via_pandas
         self.desc = f"Create historical {fun}"
 
     def new_column_roles(self) -> dict[str, str]:
@@ -163,9 +167,35 @@ class StepHistorical(Step):
                 suffix=self.suffix,
                 bucket_size=self.skew_bucket_size,
             )
+        if self.median_via_pandas:
+            return self._median_apply_in_pandas(df, groups, seq)
         frame = expanding(groups, seq)
         exprs = [
             historical_expr(c, self.fun, frame).alias(f"{c}_{self.suffix}")
             for c in self.columns
         ]
         return df.select("*", *exprs)
+
+    def _median_apply_in_pandas(self, df, groups, seq):
+        """Exact expanding median via Arrow-batched applyInPandas
+        (SURVEY.md §7 hard parts): the window ``percentile`` recomputes
+        the frame per row (quadratic for long conversations); pandas
+        expanding().median() streams it. One shuffle on the group key;
+        no per-row Python (whole conversations arrive as one pandas
+        frame)."""
+        from pyspark.sql import types as T
+
+        cols, suffix = list(self.columns), self.suffix
+        seq_cols = list(seq)
+        out_schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField(f"{c}_{suffix}", T.DoubleType()) for c in cols]
+        )
+
+        def per_group(pdf):
+            pdf = pdf.sort_values(seq_cols)
+            for c in cols:
+                pdf[f"{c}_{suffix}"] = pdf[c].expanding().median()
+            return pdf
+
+        return df.groupBy(*groups).applyInPandas(per_group, schema=out_schema)

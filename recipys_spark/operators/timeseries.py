@@ -47,12 +47,14 @@ class StepLag(Step):
         sel: Optional[Selector] = None,
         lags: tuple[int, ...] = (1,),
         role: str = "predictor",
+        skew_bucket_size: Optional[int] = None,
     ) -> None:
         super().__init__(sel if sel is not None else all_predictors())
         self.lags = tuple(int(k) for k in lags)
         if any(k < 1 for k in self.lags):
             raise ValueError("lags must be >= 1")
         self.role = role
+        self.skew_bucket_size = skew_bucket_size
         self.desc = f"Lag by {self.lags}"
 
     def new_column_roles(self) -> dict[str, str]:
@@ -60,6 +62,17 @@ class StepLag(Step):
 
     def do_transform(self, ingredients: Ingredients):
         df = ingredients.df
+        if self.skew_bucket_size is not None:
+            from recipys_spark.functions.skew import salted_lag
+
+            return salted_lag(
+                df,
+                self.columns,
+                self.group_columns,
+                self.sequence_columns[0],
+                lags=self.lags,
+                bucket_size=self.skew_bucket_size,
+            )
         w = conv_window(self.group_columns, self.sequence_columns)
         exprs = [
             F.lag(c, k).over(w).alias(f"{c}_lag_{k}")
@@ -77,12 +90,14 @@ class StepLead(Step):
         sel: Optional[Selector] = None,
         leads: tuple[int, ...] = (1,),
         role: str = "predictor",
+        skew_bucket_size: Optional[int] = None,
     ) -> None:
         super().__init__(sel if sel is not None else all_predictors())
         self.leads = tuple(int(k) for k in leads)
         if any(k < 1 for k in self.leads):
             raise ValueError("leads must be >= 1")
         self.role = role
+        self.skew_bucket_size = skew_bucket_size
         self.desc = f"Lead by {self.leads}"
 
     def new_column_roles(self) -> dict[str, str]:
@@ -90,6 +105,18 @@ class StepLead(Step):
 
     def do_transform(self, ingredients: Ingredients):
         df = ingredients.df
+        if self.skew_bucket_size is not None:
+            from recipys_spark.functions.skew import salted_lag
+
+            return salted_lag(
+                df,
+                self.columns,
+                self.group_columns,
+                self.sequence_columns[0],
+                lags=self.leads,
+                bucket_size=self.skew_bucket_size,
+                lead=True,
+            )
         w = conv_window(self.group_columns, self.sequence_columns)
         exprs = [
             F.lead(c, k).over(w).alias(f"{c}_lead_{k}")

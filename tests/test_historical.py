@@ -116,3 +116,21 @@ def test_rolling_matches_pandas(spark):
     np.testing.assert_allclose(
         got["x1_roll2_max"].to_numpy(), exp_max.to_numpy(), equal_nan=True
     )
+
+
+def test_median_via_pandas_equals_window(spark):
+    """The applyInPandas exact-median escape hatch equals the window
+    percentile path (SURVEY §7 hard parts)."""
+    pdf = make_example_pdf(nan_x1=True)
+    def run(**kw):
+        rec = Recipe(
+            spark.createDataFrame(pdf),
+            outcomes="y", predictors=["x1", "x2"], groups="id", sequences="time",
+        ).add_step(StepHistorical(sel=all_numeric_predictors(), fun=Accumulator.MEDIAN, **kw))
+        return collect_sorted(rec.prep())
+    a = run()
+    b = run(median_via_pandas=True)
+    for c in ["x1_median", "x2_median"]:
+        np.testing.assert_allclose(
+            a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float), equal_nan=True
+        )

@@ -228,3 +228,51 @@ def test_salted_mean_bit_identical_to_plain(spark, transcripts):
     b = salted["value_mean"].to_numpy()
     both_nan = np.isnan(a) & np.isnan(b)
     assert ((a == b) | both_nan).all()
+
+
+def test_salted_lag_equals_plain(spark, transcripts):
+    from recipys_spark.functions.skew import salted_lag
+    from recipys_spark.operators import StepLag, StepLead
+
+    plain = (
+        _recipe(transcripts)
+        .add_step(StepLag(sel=all_of(["value"]), lags=(1, 3)))
+        .add_step(StepLead(sel=all_of(["value"]), leads=(2,)))
+        .prep()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    lagged = salted_lag(
+        transcripts, ["value"], ["conv_id"], "turn_idx", lags=(1, 3), bucket_size=16
+    )
+    led = salted_lag(
+        lagged, ["value"], ["conv_id"], "turn_idx", lags=(2,), bucket_size=16, lead=True
+    )
+    salted = led.orderBy("conv_id", "turn_idx").toPandas()
+    for col in ["value_lag_1", "value_lag_3", "value_lead_2"]:
+        np.testing.assert_allclose(
+            salted[col].to_numpy(dtype=float),
+            plain[col].to_numpy(dtype=float),
+            equal_nan=True,
+        )
+
+
+def test_salted_row_number(spark, transcripts):
+    from recipys_spark.functions.skew import salted_row_number
+    from pyspark.sql import Window, functions as F
+
+    got = (
+        salted_row_number(transcripts, ["conv_id"], "turn_idx", 16)
+        .orderBy("conv_id", "turn_idx")
+        .select("__rid")
+        .toPandas()["__rid"]
+        .to_numpy()
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    exp = (
+        transcripts.select(F.row_number().over(w).alias("rn"), "conv_id", "turn_idx")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()["rn"]
+        .to_numpy()
+    )
+    np.testing.assert_array_equal(got, exp)
