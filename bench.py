@@ -81,6 +81,9 @@ def main() -> None:
                       shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warmup so the first timed query isn't charged for it
+    materialize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
