@@ -409,6 +409,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["date_parts"] = date_parts
 
+    def set_ops(s, d):
+        ev = _t(s, d, "events")
+        buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+        erring = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+        return buyers.exceptAll(erring).unionByName(
+            buyers.intersect(erring).withColumn("user_id", F.col("user_id") + 1_000_000)
+        )
+
+    q["set_ops"] = set_ops
+
     def rollup_counts(s, d):
         ev = _t(s, d, "events")
         return ev.rollup("event_type").agg(
@@ -665,6 +675,14 @@ def oracle_sql() -> dict[str, str]:
     o["date_parts"] = (
         "SELECT event_id, CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m, "
         "CAST(day(ts) AS INT) AS dom, CAST(hour(ts) AS INT) AS h FROM events"
+    )
+    o["set_ops"] = (
+        "WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'), "
+        "erring AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error') "
+        "SELECT user_id FROM (SELECT user_id FROM buyers EXCEPT ALL SELECT user_id FROM erring) "
+        "UNION ALL "
+        "SELECT user_id + 1000000 AS user_id FROM "
+        "(SELECT user_id FROM buyers INTERSECT SELECT user_id FROM erring)"
     )
     o["rollup_counts"] = (
         "SELECT event_type, count(*) AS n, max(value) AS max_value "

@@ -77,32 +77,40 @@ _STATE_SCHEMA = T.StructType(
 
 def _running_features(key, batches: Iterator[pd.DataFrame], state: GroupState):
     """Expanding mean/max/count carried across micro-batches in
-    GroupState; within a batch rows are processed in turn_idx order."""
+    GroupState — fully vectorized pandas (no per-row Python, per the
+    input_hint mandate): prior-state (sum, count, max) combines with
+    in-batch cumulative aggregates."""
+    import numpy as np
+
     if state.exists:
-        s, c, m = state.get
+        s0, c0, m0 = state.get
     else:
-        s, c, m = 0.0, 0, None
+        s0, c0, m0 = 0.0, 0, None
     for pdf in batches:
         pdf = pdf.sort_values("turn_idx")
-        means, maxes, counts = [], [], []
-        for v in pdf["value"]:
-            if pd.notna(v):
-                s += float(v)
-                c += 1
-                m = float(v) if m is None else max(m, float(v))
-                maxes.append(m)
-            else:
-                # cum_max semantics: null output at null input
-                # (matches batch StepHistorical MAX)
-                maxes.append(None)
-            means.append(s / c if c else None)
-            counts.append(c)
+        v = pdf["value"]
+        notna = v.notna()
+        cnt = c0 + notna.cumsum()
+        csum = s0 + v.fillna(0.0).cumsum()
+        mean = (csum / cnt).where(cnt > 0)
+        cmax = v.cummax()
+        if m0 is not None:
+            cmax = np.maximum(cmax.fillna(m0), m0)
+        # cum_max semantics: null output at null input rows
+        # (matches batch StepHistorical MAX)
+        vmax = pd.Series(cmax, index=pdf.index).where(notna)
         out = pdf[["conv_id", "turn_idx", "value"]].copy()
-        out["value_mean"] = means
-        out["value_max"] = maxes
-        out["value_count"] = counts
+        out["value_mean"] = mean
+        out["value_max"] = vmax
+        out["value_count"] = cnt
         yield out
-    state.update((s, c, m))
+        if len(v):
+            s0 = float(csum.iloc[-1])
+            c0 = int(cnt.iloc[-1])
+            batch_max = v.max()
+            if pd.notna(batch_max):
+                m0 = float(batch_max) if m0 is None else max(m0, float(batch_max))
+    state.update((s0, c0, m0))
 
 
 def streaming_running_features(stream: DataFrame) -> DataFrame:

@@ -142,3 +142,14 @@ def test_check_data_rejects_schema_drift(example_recipe, example_df):
 def test_add_step_type_check(example_recipe):
     with pytest.raises(TypeError):
         example_recipe.add_step(lambda df: df)
+
+
+def test_sklearn_gate_raises_cleanly():
+    """sklearn is not installed in this environment; the escape hatch
+    must fail at construction with a clear ImportError, and only when
+    sklearn is actually missing."""
+    from recipys_spark.operators.sklearn_compat import HAS_SKLEARN, StepSklearn
+
+    if not HAS_SKLEARN:
+        with pytest.raises(ImportError):
+            StepSklearn(object())
