@@ -16,7 +16,14 @@ the expanding aggregate splits into:
            with null-safe combine rules.
 
 MEDIAN is not decomposable; StepHistorical falls back to the plain
-window for it (documented limitation).
+window for it (the applyInPandas expanding-median path is the skew
+escape hatch there).
+
+When to salt (measured, see BENCH.md): the salted plan costs extra
+shuffles and forfeits cross-step window fusion, so it LOSES below
+~10^6 turns per conversation (29 s vs 61 s at a 1.6M-turn straggler)
+and WINS big past ~10^7 (167 s vs 1324 s at a 16M-turn conversation,
+7.9×). Set bucket_size so a bucket is ~10^5–10^6 rows.
 """
 
 from __future__ import annotations

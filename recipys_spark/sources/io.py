@@ -107,12 +107,22 @@ def synthetic_transcripts(
     )
     length = (F.lit(4) + F.pmod(F.xxhash64(F.col("_cid"), s), F.lit(8))).cast("int")
     if skew:
-        length = F.when(F.col("_cid") == 0, F.lit(8 * skew_factor)).otherwise(length)
+        # the skew conversation's turns come from a parallel range, not
+        # sequence+explode: a 10^7-element array in one task would make
+        # the GENERATOR the skew victim
+        convs = convs.where(F.col("_cid") != 0)
     turns = convs.select(
         "conv_id",
         "_cid",
         F.explode(F.sequence(F.lit(0), length - 1)).alias("turn_idx"),
     ).select("conv_id", "_cid", F.col("turn_idx").cast("int").alias("turn_idx"))
+    if skew:
+        skew_turns = spark.range(8 * skew_factor).select(
+            F.lit("c000000").alias("conv_id"),
+            F.lit(0).cast("long").alias("_cid"),
+            F.col("id").cast("int").alias("turn_idx"),
+        )
+        turns = turns.unionByName(skew_turns)
 
     h = F.xxhash64(F.col("_cid"), F.col("turn_idx"), s)
     role = F.when(F.pmod(h, F.lit(13)) == 0, F.lit(None).cast("string")).otherwise(
@@ -132,16 +142,17 @@ def synthetic_transcripts(
     text = F.format_string(
         "turn %d of %s: %s", F.col("turn_idx"), F.col("conv_id"), token
     )
-    # inter-turn gap: 10..310 s, ~1/17 turns jump > 30 min
-    gap = F.lit(10) + F.pmod(h, F.lit(300))
-    gap = F.when(F.pmod(h, F.lit(17)) == 0, gap + F.lit(2400)).otherwise(gap)
-    w = (
-        Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # CLOSED-FORM ts (no per-conv cumsum window — the generator must
+    # not itself be skew-bound): base cadence 180 s/turn, per-turn
+    # jitter in [0, 160) keeps it strictly monotone, and every 50th
+    # turn adds a 2400 s jump (> the 30 min session gap) with a
+    # closed-form prefix floor(idx/50)*2400.
     ts = F.timestamp_seconds(
-        F.lit(1_700_000_000) + F.col("_cid") * 3600 + F.sum(gap).over(w)
+        F.lit(1_700_000_000)
+        + F.col("_cid") * 3600
+        + F.col("turn_idx").cast("long") * 180
+        + F.pmod(h, F.lit(160))
+        + F.floor(F.col("turn_idx") / 50).cast("long") * 2400
     )
 
     out = turns.select(
