@@ -242,16 +242,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["resample_2h_last"] = resample
 
     def resample_agg(s, d):
-        ev = _events_with_nulls(s, d)
-        bucket = F.timestamp_seconds(
-            (F.unix_timestamp("ts") / 7200).cast("long") * 7200
-        )
-        from recipys_spark.functions.deterministic import det_mean
+        from recipys_spark.operators import StepResampling
 
-        return ev.groupBy("user_id", bucket.alias("bucket")).agg(
-            F.count("value_n").alias("n"),
-            det_mean(F.col("value_n")).alias("value_avg"),
-            F.max("value_n").alias("value_max"),
+        # exercise StepResampling's accumulator map: one source column
+        # duplicated under three names, each with its own Accumulator
+        ev = _events_with_nulls(s, d).select(
+            "user_id",
+            "ts",
+            F.col("value_n").alias("n"),
+            F.col("value_n").alias("value_avg"),
+            F.col("value_n").alias("value_max"),
+        )
+        rec = Recipe(
+            ev,
+            predictors=["n", "value_avg", "value_max"],
+            groups="user_id",
+            sequences="ts",
+        )
+        rec.add_step(
+            StepResampling(
+                new_resolution="2h",
+                accumulator_dict={
+                    all_of(["n"]): Accumulator.COUNT,
+                    all_of(["value_avg"]): Accumulator.MEAN,
+                    all_of(["value_max"]): Accumulator.MAX,
+                },
+            )
+        )
+        out = rec.prep()
+        return out.select(
+            "user_id", F.col("ts").alias("bucket"), "n", "value_avg", "value_max"
         )
 
     q["resample_2h_agg"] = resample_agg
@@ -583,13 +603,19 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({_sess}) GROUP BY user_id, session_id"
     )
 
+    # DuckDB to_timestamp() yields TIMESTAMP WITH TIME ZONE while Spark
+    # timestamp_seconds() is plain TIMESTAMP; make_timestamp(µs) builds
+    # a plain TIMESTAMP independent of the session time zone.
+    _bkt = (
+        "make_timestamp(CAST(floor(epoch(ts) / 7200) * 7200 AS BIGINT) * 1000000)"
+    )
     o["resample_2h_last"] = (
-        "SELECT user_id, to_timestamp(floor(epoch(ts) / 7200) * 7200) AS bucket, "
+        f"SELECT user_id, {_bkt} AS bucket, "
         "arg_max(value_n, ts) FILTER (WHERE value_n IS NOT NULL) AS value_last "
         f"FROM ({ev}) GROUP BY 1, 2"
     )
     o["resample_2h_agg"] = (
-        "SELECT user_id, to_timestamp(floor(epoch(ts) / 7200) * 7200) AS bucket, "
+        f"SELECT user_id, {_bkt} AS bucket, "
         "count(value_n) AS n, " + sql_det_mean("value_n", "") + " AS value_avg, "
         f"max(value_n) AS value_max FROM ({ev}) GROUP BY 1, 2"
     )

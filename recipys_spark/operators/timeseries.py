@@ -143,7 +143,11 @@ def _bucket_agg(col: str, fun: Accumulator, seq: str) -> "F.Column":
     if fun is Accumulator.MIN:
         return F.min(c)
     if fun is Accumulator.MEAN:
-        return F.avg(c)
+        # exact decimal accumulation — bucket means bit-identical at any
+        # parallelism (see functions/deterministic.py)
+        from recipys_spark.functions.deterministic import det_mean
+
+        return det_mean(c)
     if fun is Accumulator.MEDIAN:
         return F.percentile(c, F.lit(0.5))
     if fun is Accumulator.COUNT:
