@@ -197,57 +197,108 @@ def salted_ffill(
     sequence: str,
     bucket_size: int,
 ) -> DataFrame:
-    """Two-phase group-scoped forward fill for skewed groups.
+    """Two-phase group-scoped forward fill for skewed groups (the
+    unbounded-forward specialization of :func:`salted_fill`)."""
+    return salted_fill(df, cols, groups, sequence, bucket_size, forward=True)
 
-    Phase 1 forward-fills within (group, bucket); phase 2 computes each
-    bucket's last non-null value per column and forward-fills THOSE
-    over prior buckets (tiny table); phase 3 coalesces. Exactly equal
-    to the single-window ffill."""
+
+def salted_fill(
+    df: DataFrame,
+    cols: Sequence[str],
+    groups: Sequence[str],
+    sequence: str,
+    bucket_size: int,
+    forward: bool = True,
+    limit: "int | None" = None,
+) -> DataFrame:
+    """Two-phase group-scoped directional fill for skewed groups:
+    forward or backward, optionally bounded to ``limit`` consecutive
+    rows. Exactly equal to the single-window fill.
+
+    Phase 1 fills within (group, bucket); phase 2 computes each
+    bucket's edge non-null donor per column and fills THOSE across
+    buckets (tiny table); phase 3 coalesces. With ``limit``, the donor
+    payload is a struct carrying the donor's decomposable per-group row
+    number (salted_row_number — no whole-group sort), so the null-run
+    distance check needs no extra pass."""
     groups = list(groups)
     base_cols = list(df.columns)
+    if limit is not None:
+        df = salted_row_number(df, groups, sequence, bucket_size, out_col="__rid")
     df = df.withColumn(_BUCKET, _bucket_expr(df, sequence, bucket_size))
 
-    intra = (
-        Window.partitionBy(*groups, _BUCKET)
-        .orderBy(sequence)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if forward:
+        intra = (
+            Window.partitionBy(*groups, _BUCKET)
+            .orderBy(sequence)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cross = (
+            Window.partitionBy(*groups)
+            .orderBy(_BUCKET)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        pick, edge_by = F.last, F.max_by
+    else:
+        intra = (
+            Window.partitionBy(*groups, _BUCKET)
+            .orderBy(sequence)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        # "prior" buckets in fill direction = later buckets: order desc
+        cross = (
+            Window.partitionBy(*groups)
+            .orderBy(F.col(_BUCKET).desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        pick, edge_by = F.first, F.min_by
+
+    def payload(c: str):
+        if limit is None:
+            return F.col(c)
+        return F.struct(F.col("__rid").alias("rid"), F.col(c).alias("v"))
+
+    mk = {c: F.when(F.col(c).isNotNull(), payload(c)) for c in cols}
     filled = df.select(
         "*",
-        *[
-            F.last(c, ignorenulls=True).over(intra).alias(f"__ff_{c}")
-            for c in cols
-        ],
+        *[pick(mk[c], ignorenulls=True).over(intra).alias(f"__d_{c}") for c in cols],
     )
 
-    # per-bucket last non-null value, order-sensitively via max_by
+    # per-bucket edge donor (last non-null for forward, first for
+    # backward), order-sensitively via max_by/min_by on the sequence
     totals = df.groupBy(*groups, _BUCKET).agg(
         *[
-            F.max_by(
-                F.col(c), F.when(F.col(c).isNotNull(), F.col(sequence))
-            ).alias(f"__lastv_{c}")
+            edge_by(mk[c], F.when(F.col(c).isNotNull(), F.col(sequence))).alias(
+                f"__edge_{c}"
+            )
             for c in cols
         ]
-    )
-    prior = (
-        Window.partitionBy(*groups)
-        .orderBy(_BUCKET)
-        .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = totals.select(
         *groups,
         F.col(_BUCKET),
         *[
-            F.last(f"__lastv_{c}", ignorenulls=True).over(prior).alias(f"__pre_{c}")
+            F.last(f"__edge_{c}", ignorenulls=True).over(cross).alias(f"__pre_{c}")
             for c in cols
         ],
     )
     joined = filled.join(prefix, on=[*groups, _BUCKET], how="left")
+
+    def result(c: str):
+        donor = F.coalesce(F.col(f"__d_{c}"), F.col(f"__pre_{c}"))
+        if limit is None:
+            return F.coalesce(F.col(c), donor)
+        dist = (
+            (F.col("__rid") - donor["rid"])
+            if forward
+            else (donor["rid"] - F.col("__rid"))
+        )
+        return F.coalesce(F.col(c), F.when(dist <= F.lit(limit), donor["v"]))
+
     out = [
-        F.coalesce(F.col(f"__ff_{c}"), F.col(f"__pre_{c}")).alias(c)
-        if c in cols
-        else F.col(c)
+        result(c).alias(c) if c in cols else F.col(c)
         for c in base_cols
+        if c != "__rid"
     ]
     return joined.select(*out)
 

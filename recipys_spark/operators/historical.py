@@ -128,7 +128,7 @@ class StepHistorical(Step):
         suffix: Optional[str] = None,
         role: str = "predictor",
         skew_bucket_size: Optional[int] = None,
-        median_via_pandas: bool = False,
+        median_via_pandas: Optional[bool] = None,
     ) -> None:
         super().__init__(sel if sel is not None else all_numeric_predictors())
         if not isinstance(fun, Accumulator):
@@ -167,7 +167,13 @@ class StepHistorical(Step):
                 suffix=self.suffix,
                 bucket_size=self.skew_bucket_size,
             )
-        if self.median_via_pandas:
+        if self.fun is Accumulator.MEDIAN and self.median_via_pandas is not False:
+            # Scale-safe default: the window `percentile` recomputes the
+            # expanding frame per row — O(n²) per conversation, which
+            # never finishes at 10^6+ turns. The Arrow applyInPandas
+            # path streams it (pandas skiplist expanding median,
+            # O(n log n)). Pass median_via_pandas=False to force the
+            # window expression (the SQL-oracle mirror).
             return self._median_apply_in_pandas(df, groups, seq)
         frame = expanding(groups, seq)
         exprs = [
@@ -198,4 +204,15 @@ class StepHistorical(Step):
                 pdf[f"{c}_{suffix}"] = pdf[c].expanding().median()
             return pdf
 
-        return df.groupBy(*groups).applyInPandas(per_group, schema=out_schema)
+        out = df.groupBy(*groups).applyInPandas(per_group, schema=out_schema)
+        # pandas emits NaN (not NULL) when the expanding window holds no
+        # non-null values; the window-percentile path and SQL oracles
+        # emit NULL — normalize so both paths are value-identical.
+        fixed = [
+            F.when(~F.isnan(F.col(f"{c}_{suffix}")), F.col(f"{c}_{suffix}")).alias(
+                f"{c}_{suffix}"
+            )
+            for c in cols
+        ]
+        keep = [F.col(c) for c in df.columns]
+        return out.select(*keep, *fixed)

@@ -10,14 +10,18 @@ Reference quirk normalized (SURVEY.md §2.4): the pandas branch replaces
 the whole frame with only the selected columns (step.py:154); the
 polars branch — fill in place, keep all columns — is canonical here.
 
-Spark mapping: pure window expressions.
+Spark mapping:
 - forward: ``last(c, ignorenulls=True)`` over the expanding frame
 - backward: ``first(c, ignorenulls=True)`` over current→end frame
-- mean/min/max: per-group scalar aggregate over an unordered group frame
+- mean/min/max: ``groupBy(groups).agg(...)`` + join-back (one row per
+  group; AQE broadcasts it) — NOT an unordered group window, which
+  would funnel each group through one WindowExec task (skew)
 - limit=k: a bounded frame alone would miscount null runs, so the
   null-run length is derived from the row number of the last (next)
   non-null row — two windows, still no Python in the hot path
   (SURVEY.md §7 hard parts).
+- skew_bucket_size: salted two-phase directional fill for skewed
+  groups (forward/backward, with or without limit) — functions/skew.py
 """
 
 from __future__ import annotations
@@ -33,7 +37,6 @@ from recipys_spark.functions.windows import (
     conv_window,
     expanding,
     following,
-    group_frame,
 )
 
 _STRATEGIES = ("forward", "backward", "mean", "min", "max", "zero", "one")
@@ -67,9 +70,10 @@ class StepImputeFill(Step):
             raise ValueError(f"strategy must be one of {_STRATEGIES}, got {strategy!r}")
         if limit is not None and strategy not in ("forward", "backward"):
             raise ValueError("limit is only meaningful for forward/backward strategies")
-        if skew_bucket_size is not None and (strategy != "forward" or limit is not None):
+        if skew_bucket_size is not None and strategy not in ("forward", "backward"):
             raise ValueError(
-                "skew_bucket_size is implemented for the unbounded forward strategy"
+                "skew_bucket_size applies to forward/backward strategies; "
+                "mean/min/max fill is aggregate+join-back and skew-safe already"
             )
         self.value = value
         self.strategy = strategy
@@ -81,13 +85,21 @@ class StepImputeFill(Step):
         df = ingredients.df
         groups, seq = self.group_columns, self.sequence_columns
         if self.skew_bucket_size is not None:
-            from recipys_spark.functions.skew import salted_ffill
+            from recipys_spark.functions.skew import salted_fill
 
             if not seq:
-                raise ValueError("forward fill requires a sequence role column")
-            return salted_ffill(
-                df, self.columns, groups, seq[0], self.skew_bucket_size
+                raise ValueError("directional fill requires a sequence role column")
+            return salted_fill(
+                df,
+                self.columns,
+                groups,
+                seq[0],
+                self.skew_bucket_size,
+                forward=(self.strategy == "forward"),
+                limit=self.limit,
             )
+        if self.strategy in ("mean", "min", "max"):
+            return self._group_stat_fill(df, groups)
         out = {}
         for c in self.columns:
             col = F.col(c)
@@ -97,14 +109,6 @@ class StepImputeFill(Step):
                 filled = F.coalesce(col, F.lit(0).cast(df.schema[c].dataType))
             elif self.strategy == "one":
                 filled = F.coalesce(col, F.lit(1).cast(df.schema[c].dataType))
-            elif self.strategy == "mean":
-                from recipys_spark.functions.deterministic import det_mean
-
-                filled = F.coalesce(col, det_mean(col, group_frame(groups)))
-            elif self.strategy == "min":
-                filled = F.coalesce(col, F.min(col).over(group_frame(groups)))
-            elif self.strategy == "max":
-                filled = F.coalesce(col, F.max(col).over(group_frame(groups)))
             elif self.strategy == "forward":
                 filled = self._directional(c, groups, seq, forward=True)
             else:  # backward
@@ -112,6 +116,42 @@ class StepImputeFill(Step):
             out[c] = filled.alias(c)
         return df.select(
             *[out[c] if c in out else F.col(c) for c in df.columns]
+        )
+
+    def _group_stat_fill(self, df, groups):
+        """mean/min/max fill via groupBy().agg() + join-back.
+
+        An unordered whole-group window would funnel every row of a
+        group through ONE WindowExec task — the exact skew failure the
+        salted paths exist to avoid. The aggregate runs with map-side
+        partial aggregation and the join-back side is one row per
+        group, so AQE broadcasts it; skew-safe by construction and
+        cheaper even unskewed."""
+        from recipys_spark.functions.deterministic import det_mean
+
+        base_cols = list(df.columns)
+        targets = set(self.columns)
+        aggs = []
+        for c in self.columns:
+            col = F.col(c)
+            if self.strategy == "mean":
+                aggs.append(det_mean(col).alias(f"__fill_{c}"))
+            elif self.strategy == "min":
+                aggs.append(F.min(col).alias(f"__fill_{c}"))
+            else:
+                aggs.append(F.max(col).alias(f"__fill_{c}"))
+        if groups:
+            stats = df.groupBy(*groups).agg(*aggs)
+            joined = df.join(stats, on=list(groups), how="left")
+        else:
+            joined = df.crossJoin(F.broadcast(df.agg(*aggs)))
+        return joined.select(
+            *[
+                F.coalesce(F.col(c), F.col(f"__fill_{c}")).alias(c)
+                if c in targets
+                else F.col(c)
+                for c in base_cols
+            ]
         )
 
     def _directional(self, c: str, groups, seq, forward: bool) -> "F.Column":

@@ -4,6 +4,7 @@ pandas-backend semantics: groupby(id).expanding() with skipna)."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from recipys_spark import Accumulator, Recipe
 from recipys_spark.operators import StepHistorical
@@ -128,9 +129,38 @@ def test_median_via_pandas_equals_window(spark):
             outcomes="y", predictors=["x1", "x2"], groups="id", sequences="time",
         ).add_step(StepHistorical(sel=all_numeric_predictors(), fun=Accumulator.MEDIAN, **kw))
         return collect_sorted(rec.prep())
-    a = run()
-    b = run(median_via_pandas=True)
+    a = run(median_via_pandas=False)  # window percentile (oracle mirror)
+    b = run()  # default: scale-safe applyInPandas streaming median
     for c in ["x1_median", "x2_median"]:
         np.testing.assert_allclose(
             a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float), equal_nan=True
         )
+
+
+def test_median_long_conversation_bounded_time(spark):
+    """Scale guard: the default MEDIAN plan must be the streaming
+    applyInPandas path, not the O(n²) window percentile — a 200k-turn
+    single conversation completes in seconds (the quadratic plan would
+    take hours)."""
+    import time
+
+    import pandas as pd
+
+    n = 200_000
+    pdf = pd.DataFrame(
+        {
+            "id": 1,
+            "time": np.arange(n),
+            "x1": np.sin(np.arange(n)) * 100,
+        }
+    )
+    rec = Recipe(
+        spark.createDataFrame(pdf), predictors=["x1"], groups="id", sequences="time"
+    ).add_step(StepHistorical(sel=all_numeric_predictors(), fun=Accumulator.MEDIAN))
+    t0 = time.time()
+    out = rec.prep()
+    got = out.where(F.col("time") == n - 1).collect()
+    wall = time.time() - t0
+    assert wall < 120, f"expanding median took {wall:.0f}s — quadratic plan?"
+    exp = float(np.median(pdf["x1"].to_numpy()))
+    np.testing.assert_allclose(got[0]["x1_median"], exp)

@@ -184,6 +184,44 @@ def test_salted_ffill_equals_plain(spark, transcripts):
     )
 
 
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"strategy": "backward"},
+        {"strategy": "forward", "limit": 2},
+        {"strategy": "backward", "limit": 1},
+    ],
+    ids=["bfill", "ffill_limit2", "bfill_limit1"],
+)
+def test_salted_directional_fill_equals_plain(spark, transcripts, kw):
+    def run(**extra):
+        return (
+            _recipe(transcripts)
+            .add_step(StepImputeFill(sel=all_of(["value"]), **kw, **extra))
+            .prep()
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+
+    plain = run()
+    salted = run(skew_bucket_size=16)
+    np.testing.assert_array_equal(
+        salted["value"].to_numpy(), plain["value"].to_numpy()
+    )
+
+
+def test_group_stat_fill_has_no_window_exec(spark, transcripts):
+    """mean/min/max fill must compile to aggregate + join-back, never an
+    unordered whole-group window (one task per group = skew)."""
+    out = (
+        _recipe(transcripts)
+        .add_step(StepImputeFill(sel=all_of(["value"]), strategy="mean"))
+        .prep()
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+
+
 def test_salted_sessionize_equals_plain(spark, transcripts):
     from recipys_spark.operators import StepSessionize
 
