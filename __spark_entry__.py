@@ -312,6 +312,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_join_tolerance"] = asof_tol
 
+    def asof_salted(s, d):
+        ev = _events_with_nulls(s, d)
+        feats = (
+            _t(s, d, "events")
+            .where(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("fts"), F.col("value").alias("feat"))
+        )
+        return asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            feats,
+            on="user_id",
+            left_ts="ts",
+            right_ts="fts",
+            strategy="salted",
+            bucket_size=6 * 3600,
+        ).select(*_EVENTS_KEYS, "feat")
+
+    q["asof_join_salted"] = asof_salted
+
     # -- fitted scalers (§2.1 #9–10 native tier) --------------------------
     def scale_std(s, d):
         li = _t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
@@ -629,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         f"FROM events e ASOF LEFT JOIN ({_feats}) f "
         "ON e.user_id = f.user_id AND f.fts <= e.ts"
     )
+    o["asof_join_salted"] = o["asof_join"]
     o["asof_join_tolerance"] = (
         "SELECT e.event_id, e.user_id, e.ts, "
         "(SELECT f.feat FROM (" + _feats + ") f "

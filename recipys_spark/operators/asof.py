@@ -10,7 +10,7 @@ matched.
 Two physical strategies:
 
 - ``union``  (default, scale path): tag and union both sides, then one
-  window pass ``last(value, ignorenulls=True)`` over
+  window pass ``last(donor_row_struct, ignorenulls=True)`` over
   ``partitionBy(keys).orderBy(ts, side)`` — right rows sort *before*
   left rows at equal ts, so matches are inclusive. One shuffle of
   left+right, no row blowup, skew handled by AQE; this is the plan
@@ -19,6 +19,12 @@ Two physical strategies:
   ``right_ts <= left_ts`` then keep the max-ts match per left row via
   ``max_by``. Row blowup is bounded by the right side's per-key
   cardinality — only for genuinely small right tables.
+- ``salted`` (hot single key): the union strategy still windows on
+  ``partitionBy(keys)`` — one task per key. The salted variant buckets
+  the merged stream by time (functions/skew.py pattern): intra-bucket
+  window for the latest right row within (key, bucket), per-bucket
+  edge-donor table forward-filled across buckets (tiny), join-back and
+  coalesce. Exactly equal to ``union``; use when one key dominates.
 """
 
 from __future__ import annotations
@@ -33,7 +39,6 @@ from recipys_spark.operators.base import Step
 from recipys_spark.operators.timeseries import parse_resolution
 
 _SIDE = "__asof_side"
-_MATCH_TS = "__asof_match_ts"
 
 
 def _tolerance_seconds(tolerance: Union[str, int, float, None]) -> Optional[float]:
@@ -66,13 +71,23 @@ def asof_join(
     tolerance: Union[str, int, float, None] = None,
     suffix: str = "",
     strategy: str = "union",
+    bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Columns returned: all of ``left`` + right's value columns
-    (right minus keys minus ts), suffixed if ``suffix``."""
+    (right minus keys minus ts), suffixed if ``suffix``.
+
+    ``bucket_size`` (seconds of ``ts`` per bucket) is required for the
+    ``salted`` strategy."""
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
     value_cols = [c for c in right.columns if c not in keys and c != right_ts]
     out_names = {c: f"{c}{suffix}" for c in value_cols}
+    collisions = sorted(set(out_names.values()) & set(left.columns))
+    if collisions:
+        raise ValueError(
+            f"as-of output column(s) {collisions} collide with left columns; "
+            "pass a suffix= to disambiguate"
+        )
     tol = _tolerance_seconds(tolerance)
 
     if strategy == "broadcast":
@@ -105,8 +120,10 @@ def asof_join(
         )
         return out.select(*left.columns, *[out_names[c] for c in value_cols])
 
-    if strategy != "union":
+    if strategy not in ("union", "salted"):
         raise ValueError(f"unknown asof strategy {strategy!r}")
+    if strategy == "salted" and not bucket_size:
+        raise ValueError("the salted strategy requires bucket_size (seconds)")
 
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
@@ -129,29 +146,89 @@ def asof_join(
     ).select(*l_tagged.columns)
 
     unioned = l_tagged.unionByName(r_tagged)
+
+    if strategy == "salted":
+        from recipys_spark.functions.skew import _BUCKET, _bucket_expr
+
+        unioned = unioned.withColumn(
+            _BUCKET, _bucket_expr(unioned, "__ts", bucket_size)
+        )
+        donor_fields = [F.col("__r_ts").alias("__mts")] + [
+            F.col(f"__r_{c}").alias(c) for c in value_cols
+        ]
+        donor = F.when(F.col(_SIDE) == 0, F.struct(*donor_fields))
+        intra = (
+            Window.partitionBy(*keys, _BUCKET)
+            .orderBy(F.col("__ts"), F.col(_SIDE))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        with_intra = unioned.select(
+            "*", F.last(donor, ignorenulls=True).over(intra).alias("__intra")
+        )
+        # per-bucket latest right donor; buckets with no right rows get
+        # NULL (max_by skips null ordering keys) so the cross-bucket
+        # ffill below carries earlier donors through them
+        totals = unioned.groupBy(*keys, _BUCKET).agg(
+            F.max_by(donor, F.when(F.col(_SIDE) == 0, F.col("__ts"))).alias("__edge")
+        )
+        prior = (
+            Window.partitionBy(*keys)
+            .orderBy(_BUCKET)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prefix = totals.select(
+            *keys,
+            F.col(_BUCKET),
+            F.last("__edge", ignorenulls=True).over(prior).alias("__pre"),
+        )
+        joined = (
+            with_intra.where(F.col(_SIDE) == 1)
+            .join(prefix, [*keys, _BUCKET], "left")
+            .withColumn("__match", F.coalesce(F.col("__intra"), F.col("__pre")))
+        )
+        if tol is not None:
+            lt = left.schema[left_ts].dataType
+            rt = right.schema[right_ts].dataType
+            in_tol = (
+                _ts_num(F.col("__ts"), lt) - _ts_num(F.col("__match")["__mts"], rt)
+            ) <= F.lit(tol)
+            vals = [
+                F.when(in_tol, F.col("__match")[c]).alias(out_names[c])
+                for c in value_cols
+            ]
+        else:
+            vals = [F.col("__match")[c].alias(out_names[c]) for c in value_cols]
+        return joined.select(*left.columns, *vals)
+
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__ts"), F.col(_SIDE))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Row-level match semantics (pandas merge_asof / SQL ASOF JOIN):
+    # the latest right ROW wins even where one of its value columns is
+    # null — pack the row into a struct so the fill is row-atomic, not
+    # per-column.
+    donor_fields = [F.col("__r_ts").alias("__mts")] + [
+        F.col(f"__r_{c}").alias(c) for c in value_cols
+    ]
+    donor = F.when(F.col(_SIDE) == 0, F.struct(*donor_fields))
     filled = unioned.select(
-        "*",
-        F.last("__r_ts", ignorenulls=True).over(w).alias(_MATCH_TS),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in value_cols
-        ],
+        "*", F.last(donor, ignorenulls=True).over(w).alias("__match")
     ).where(F.col(_SIDE) == 1)
 
     if tol is not None:
         lt = left.schema[left_ts].dataType
         rt = right.schema[right_ts].dataType
-        in_tol = (_ts_num(F.col("__ts"), lt) - _ts_num(F.col(_MATCH_TS), rt)) <= F.lit(tol)
+        in_tol = (
+            _ts_num(F.col("__ts"), lt) - _ts_num(F.col("__match")["__mts"], rt)
+        ) <= F.lit(tol)
         vals = [
-            F.when(in_tol, F.col(f"__m_{c}")).alias(out_names[c]) for c in value_cols
+            F.when(in_tol, F.col("__match")[c]).alias(out_names[c])
+            for c in value_cols
         ]
     else:
-        vals = [F.col(f"__m_{c}").alias(out_names[c]) for c in value_cols]
+        vals = [F.col("__match")[c].alias(out_names[c]) for c in value_cols]
     return filled.select(*left.columns, *vals)
 
 
@@ -168,6 +245,7 @@ class StepAsofJoin(Step):
         suffix: str = "",
         strategy: str = "union",
         role: str = "predictor",
+        bucket_size: Optional[int] = None,
     ) -> None:
         from recipys_spark.selector import Selector
 
@@ -178,6 +256,7 @@ class StepAsofJoin(Step):
         self.suffix = suffix
         self.strategy = strategy
         self.role = role
+        self.bucket_size = bucket_size
         self.desc = "Point-in-time as-of join"
 
     def new_column_roles(self) -> dict[str, str]:
@@ -208,4 +287,5 @@ class StepAsofJoin(Step):
             tolerance=self.tolerance,
             suffix=self.suffix,
             strategy=self.strategy,
+            bucket_size=self.bucket_size,
         )

@@ -51,7 +51,7 @@ def pandas_asof(left_pdf, right_pdf, tolerance=None):
     ).sort_values(["key", "ts"]).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("strategy", ["union", "broadcast"])
+@pytest.mark.parametrize("strategy", ["union", "broadcast", "salted"])
 def test_asof_matches_pandas(spark, left_pdf, right_pdf, strategy):
     got = (
         asof_join(
@@ -61,6 +61,7 @@ def test_asof_matches_pandas(spark, left_pdf, right_pdf, strategy):
             left_ts="ts",
             right_ts="fts",
             strategy=strategy,
+            bucket_size=3600,
         )
         .toPandas()
         .sort_values(["key", "ts"])
@@ -71,7 +72,7 @@ def test_asof_matches_pandas(spark, left_pdf, right_pdf, strategy):
     assert list(got.columns) == ["key", "ts", "payload", "feat"]
 
 
-@pytest.mark.parametrize("strategy", ["union", "broadcast"])
+@pytest.mark.parametrize("strategy", ["union", "broadcast", "salted"])
 def test_asof_tolerance(spark, left_pdf, right_pdf, strategy):
     got = (
         asof_join(
@@ -82,6 +83,7 @@ def test_asof_tolerance(spark, left_pdf, right_pdf, strategy):
             right_ts="fts",
             tolerance="1h",
             strategy=strategy,
+            bucket_size=3600,
         )
         .toPandas()
         .sort_values(["key", "ts"])
@@ -145,3 +147,53 @@ def test_step_asof_join(spark, left_pdf, right_pdf):
     assert "feat_pit" in out.columns
     roles = rec.steps[0].new_column_roles()
     assert roles == {"feat_pit": "predictor"}
+
+
+def test_asof_suffix_collision_raises(spark, left_pdf, right_pdf):
+    """Empty suffix + a right value column named like a left column must
+    raise instead of silently emitting duplicate column names."""
+    right = spark.createDataFrame(right_pdf.rename(columns={"feat": "payload"}))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            spark.createDataFrame(left_pdf), right,
+            on="key", left_ts="ts", right_ts="fts",
+        )
+
+
+def test_asof_salted_equals_union_on_skewed_transcripts(spark):
+    """Salted as-of == union strategy on the skewed conversation
+    fixture (one conversation 20x the rest)."""
+    from pyspark.sql import functions as F
+
+    from recipys_spark.sources.io import synthetic_transcripts
+
+    left = synthetic_transcripts(
+        spark, n_convs=20, skew=True, skew_factor=20, with_features=True
+    ).select("conv_id", "turn_idx", "ts", "value")
+    right = (
+        left.where(F.col("turn_idx") % 5 == 0)
+        .select("conv_id", F.col("ts").alias("fts"), (F.col("value") * 2).alias("feat"))
+    )
+
+    def run(**kw):
+        return (
+            asof_join(left, right, on="conv_id", left_ts="ts", right_ts="fts", **kw)
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+
+    union = run()
+    salted = run(strategy="salted", bucket_size=1800)
+    np.testing.assert_allclose(
+        salted["feat"].to_numpy(dtype=float),
+        union["feat"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
+
+    union_t = run(tolerance="15m")
+    salted_t = run(strategy="salted", bucket_size=1800, tolerance="15m")
+    np.testing.assert_allclose(
+        salted_t["feat"].to_numpy(dtype=float),
+        union_t["feat"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
