@@ -380,6 +380,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kbins_uniform"] = kbins
 
+    def log1p_q(s, d):
+        from recipys_spark.operators import StepLog1p
+
+        li = _t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+        rec = Recipe(li, predictors=["l_quantity"])
+        rec.add_step(StepLog1p(sel=all_of(["l_quantity"])))
+        # float32 demotion: JVM log1p vs DuckDB ln(1+x) differ in the
+        # last double ulp (different libm); the float32 value is
+        # identical — the principled cross-engine comparison for
+        # transcendental functions (exact ops stay double elsewhere)
+        return rec.prep().select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("float").alias("qty_log1p"),
+        )
+
+    q["log1p_transform"] = log1p_q
+
+    def poly_q(s, d):
+        from recipys_spark.operators import StepPolynomialFeatures
+
+        li = _t(s, d, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+        )
+        rec = Recipe(li, predictors=["l_quantity", "l_discount"])
+        rec.add_step(
+            StepPolynomialFeatures(sel=all_of(["l_quantity", "l_discount"]), degree=2)
+        )
+        out = rec.prep()
+        return out.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("PolynomialFeatures_3").alias("qty_sq"),
+            F.col("PolynomialFeatures_4").alias("qty_disc"),
+            F.col("PolynomialFeatures_5").alias("disc_sq"),
+        )
+
+    q["polynomial_features"] = poly_q
+
     # -- encoders (§2.1 sklearn table) -------------------------------------
     def ordinal(s, d):
         o = _t(s, d, "orders").select("o_orderkey", "o_orderpriority")
@@ -394,11 +433,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def onehot(s, d):
         o = _t(s, d, "orders").select("o_orderkey", "o_orderpriority")
         rec = Recipe(o, predictors=["o_orderpriority"])
-        rec.add_step(StepOneHotEncode(sel=all_of(["o_orderpriority"])))
-        return rec.prep().select(
-            "o_orderkey",
-            *[f"OneHotEncoder_{i}" for i in range(1, 6)],
-        )
+        step = StepOneHotEncode(sel=all_of(["o_orderpriority"]))
+        rec.add_step(step)
+        out = rec.prep()
+        # derive emitted column names from the fitted state, not a
+        # hard-coded range — stays correct if the category set changes
+        onehot_cols = [name for _, _, name in step._out_names()]
+        return out.select("o_orderkey", *onehot_cols)
 
     q["onehot_encode"] = onehot
 
@@ -686,6 +727,19 @@ def oracle_sql() -> dict[str, str]:
         "+ (l_extendedprice >= mn + (mx - mn) * 3 / 5)::int "
         "+ (l_extendedprice >= mn + (mx - mn) * 4 / 5)::int AS INT) AS price_bin "
         "FROM lineitem, s"
+    )
+
+    # float32 demotion for cross-libm parity (see the query comment)
+    o["log1p_transform"] = (
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(ln(1 + l_quantity) AS FLOAT) AS qty_log1p FROM lineitem"
+    )
+    # double multiplication is IEEE exact-rounded in both engines
+    o["polynomial_features"] = (
+        "SELECT l_orderkey, l_linenumber, "
+        "l_quantity * l_quantity AS qty_sq, "
+        "l_quantity * l_discount AS qty_disc, "
+        "l_discount * l_discount AS disc_sq FROM lineitem"
     )
 
     o["ordinal_encode"] = (

@@ -30,6 +30,11 @@ from recipys_spark.operators.encode import (
     StepOneHotEncode,
     StepOrdinalEncode,
 )
+from recipys_spark.operators.mathtrans import (
+    StepLog1p,
+    StepPolynomialFeatures,
+    StepPowerTransform,
+)
 from recipys_spark.operators.sklearn_compat import StepSklearn
 
 __all__ = [
@@ -45,6 +50,7 @@ __all__ = [
     "StepImputeModel",
     "StepKBinsDiscretize",
     "StepLag",
+    "StepLog1p",
     "StepLead",
     "StepMaxAbsScale",
     "StepMinMaxScale",
@@ -52,6 +58,8 @@ __all__ = [
     "StepNormalize",
     "StepOneHotEncode",
     "StepOrdinalEncode",
+    "StepPolynomialFeatures",
+    "StepPowerTransform",
     "StepQuantileTransform",
     "StepResampling",
     "StepRolling",

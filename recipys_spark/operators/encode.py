@@ -11,6 +11,12 @@ pattern (reference step.py:433, 457–459).
 Fit = one distinct-aggregate job; the category maps are tiny and live
 in the plan as literal CASE/array expressions (broadcast by value) —
 no join, no shuffle at transform time.
+
+Scale guard: the literal-map design assumes enum-like columns. A
+high-cardinality key would collect_set millions of values onto the
+driver and inline them into the plan, so fit first runs a cheap
+``approx_count_distinct`` probe and fails fast above ``max_categories``
+(tunable) with a clear error instead of OOMing the driver.
 """
 
 from __future__ import annotations
@@ -24,6 +30,35 @@ from recipys_spark.operators.base import Step
 from recipys_spark.selector import Selector, all_predictors
 
 
+def _fit_categories(df, columns, max_categories: int, step_name: str) -> dict:
+    """Distinct sorted categories per column, guarded by an
+    approx_count_distinct probe (±5% typical HLL error — the guard
+    uses 1.2x headroom so legitimate near-limit columns still fit)."""
+    probe = df.agg(
+        *[F.approx_count_distinct(F.col(c)).alias(c) for c in columns]
+    ).first()
+    too_big = {c: probe[c] for c in columns if probe[c] > max_categories * 1.2}
+    if too_big:
+        raise ValueError(
+            f"{step_name}: column(s) exceed max_categories={max_categories}: "
+            f"{ {c: int(n) for c, n in too_big.items()} } (approximate). "
+            "Literal-map encoding of a high-cardinality column would "
+            "collect the full category set to the driver; raise "
+            "max_categories only if that is intended, or hash/bucket the "
+            "column instead."
+        )
+    aggs = [F.sort_array(F.collect_set(F.col(c))).alias(c) for c in columns]
+    row = df.agg(*aggs).first().asDict()
+    cats = {c: list(row[c]) for c in columns}
+    oversize = {c: len(v) for c, v in cats.items() if len(v) > max_categories}
+    if oversize:
+        raise ValueError(
+            f"{step_name}: column(s) exceed max_categories={max_categories}: "
+            f"{oversize} (exact)"
+        )
+    return cats
+
+
 class StepOrdinalEncode(Step):
     """category → its index in the lexicographically sorted distinct
     set; unknown categories at transform time → null."""
@@ -31,16 +66,18 @@ class StepOrdinalEncode(Step):
     _uses_groups = False
     _uses_sequence = False
 
-    def __init__(self, sel: Optional[Selector] = None) -> None:
+    def __init__(
+        self, sel: Optional[Selector] = None, max_categories: int = 10_000
+    ) -> None:
         super().__init__(sel if sel is not None else all_predictors())
         self.categories: dict[str, list] = {}
+        self.max_categories = max_categories
         self.desc = "Ordinal-encode categories"
 
     def do_fit(self, ingredients: Ingredients) -> None:
-        df = ingredients.df
-        aggs = [F.sort_array(F.collect_set(F.col(c))).alias(c) for c in self.columns]
-        row = df.agg(*aggs).first().asDict()
-        self.categories = {c: list(row[c]) for c in self.columns}
+        self.categories = _fit_categories(
+            ingredients.df, self.columns, self.max_categories, "StepOrdinalEncode"
+        )
 
     def do_transform(self, ingredients: Ingredients):
         df = ingredients.df
@@ -80,19 +117,21 @@ class StepOneHotEncode(Step):
         in_place: bool = False,
         role: str = "predictor",
         prefix: str = "OneHotEncoder",
+        max_categories: int = 1_000,
     ) -> None:
         super().__init__(sel if sel is not None else all_predictors())
         self.in_place = in_place
         self.role = role
         self.prefix = prefix
+        self.max_categories = max_categories
         self.categories: dict[str, list] = {}
         self.desc = "One-hot encode categories"
 
     def do_fit(self, ingredients: Ingredients) -> None:
-        df = ingredients.df
-        aggs = [F.sort_array(F.collect_set(F.col(c))).alias(c) for c in self.columns]
-        row = df.agg(*aggs).first().asDict()
-        self.categories = {c: list(row[c]) for c in self.columns}
+        # one-hot emits a COLUMN per category — far tighter default cap
+        self.categories = _fit_categories(
+            ingredients.df, self.columns, self.max_categories, "StepOneHotEncode"
+        )
 
     def _out_names(self) -> list[tuple[str, object, str]]:
         out = []

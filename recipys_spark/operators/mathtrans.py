@@ -1,0 +1,265 @@
+"""Native math-transform steps: log1p, polynomial features, power
+(Yeo-Johnson) transform.
+
+The reference reaches these only through ``StepSklearn`` with
+FunctionTransformer(np.log1p) / PolynomialFeatures / PowerTransformer
+(reference tests/test_steps.py:406–440). Here they are first-class
+Spark-native steps: log1p and polynomial are pure JVM column
+expressions (whole-stage codegen, no fitted state beyond column
+resolution); the power transform fits one lambda per column by
+maximizing the Yeo-Johnson log-likelihood on a deterministic sample,
+then standardizes with exact decimal mean/std aggregates over the FULL
+data — transform stays a pure column expression.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from typing import Optional
+
+from pyspark.sql import functions as F
+
+from recipys_spark.ingredients import Ingredients
+from recipys_spark.operators.base import Step
+from recipys_spark.operators.scale import _FittedStep
+from recipys_spark.selector import Selector, all_numeric_predictors
+
+
+class StepLog1p(Step):
+    """``log(1 + c)`` (sklearn FunctionTransformer(np.log1p) analog,
+    reference test_steps.py:427–434). Stateless JVM expression."""
+
+    _uses_groups = False
+    _uses_sequence = False
+
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        in_place: bool = True,
+        role: str = "predictor",
+    ) -> None:
+        super().__init__(sel if sel is not None else all_numeric_predictors())
+        self.in_place = in_place
+        self.role = role
+        self.desc = "log1p transform"
+
+    def new_column_roles(self) -> dict[str, str]:
+        if self.in_place:
+            return {}
+        return {f"{c}_log1p": self.role for c in self.columns}
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        if self.in_place:
+            return df.select(
+                *[
+                    F.log1p(F.col(c)).alias(c) if c in set(self.columns) else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        return df.select(
+            "*", *[F.log1p(F.col(c)).alias(f"{c}_log1p") for c in self.columns]
+        )
+
+
+class StepPolynomialFeatures(Step):
+    """Products of the selected columns up to ``degree``, in sklearn's
+    PolynomialFeatures output order (combinations_with_replacement per
+    ascending degree), named ``{prefix}_{i}`` 1-indexed to match the
+    reference's StepSklearn column naming (reference step.py:457–459).
+
+    Stateless beyond column resolution; every output is a plain column
+    product — whole-stage codegen, no shuffle."""
+
+    _uses_groups = False
+    _uses_sequence = False
+
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        degree: int = 2,
+        interaction_only: bool = False,
+        include_bias: bool = False,
+        prefix: str = "PolynomialFeatures",
+        role: str = "predictor",
+    ) -> None:
+        super().__init__(sel if sel is not None else all_numeric_predictors())
+        if degree < 1:
+            raise ValueError("degree must be >= 1")
+        self.degree = degree
+        self.interaction_only = interaction_only
+        self.include_bias = include_bias
+        self.prefix = prefix
+        self.role = role
+        self.desc = f"Polynomial features up to degree {degree}"
+
+    def _terms(self) -> list[tuple[str, ...]]:
+        combine = (
+            itertools.combinations
+            if self.interaction_only
+            else itertools.combinations_with_replacement
+        )
+        terms: list[tuple[str, ...]] = []
+        if self.include_bias:
+            terms.append(())
+        for d in range(1, self.degree + 1):
+            terms.extend(combine(self.columns, d))
+        return terms
+
+    def _named_terms(self) -> list[tuple[str, tuple[str, ...]]]:
+        return [
+            (f"{self.prefix}_{i}", t) for i, t in enumerate(self._terms(), start=1)
+        ]
+
+    def new_column_roles(self) -> dict[str, str]:
+        return {name: self.role for name, _ in self._named_terms()}
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        exprs = []
+        for name, term in self._named_terms():
+            if not term:
+                e = F.lit(1.0)
+            else:
+                e = F.col(term[0]).cast("double")
+                for c in term[1:]:
+                    e = e * F.col(c).cast("double")
+            exprs.append(e.alias(name))
+        return df.select("*", *exprs)
+
+
+def yeo_johnson_expr(col, lmbda: float):
+    """Yeo-Johnson transform as a Spark column expression."""
+    c = col.cast("double")
+    pos_zero = abs(lmbda) < 1e-12
+    neg_two = abs(lmbda - 2.0) < 1e-12
+    pos = (
+        F.log1p(c)
+        if pos_zero
+        else (F.pow(c + F.lit(1.0), F.lit(lmbda)) - F.lit(1.0)) / F.lit(lmbda)
+    )
+    neg = (
+        -F.log1p(-c)
+        if neg_two
+        else -(F.pow(-c + F.lit(1.0), F.lit(2.0 - lmbda)) - F.lit(1.0))
+        / F.lit(2.0 - lmbda)
+    )
+    return F.when(c >= 0, pos).otherwise(neg)
+
+
+def _yj_numpy(x, lmbda: float):
+    import numpy as np
+
+    out = np.empty_like(x, dtype=float)
+    pos = x >= 0
+    if abs(lmbda) < 1e-12:
+        out[pos] = np.log1p(x[pos])
+    else:
+        out[pos] = ((x[pos] + 1.0) ** lmbda - 1.0) / lmbda
+    if abs(lmbda - 2.0) < 1e-12:
+        out[~pos] = -np.log1p(-x[~pos])
+    else:
+        out[~pos] = -((-x[~pos] + 1.0) ** (2.0 - lmbda) - 1.0) / (2.0 - lmbda)
+    return out
+
+
+def fit_yeo_johnson_lambda(x, lo: float = -5.0, hi: float = 5.0, iters: int = 80):
+    """MLE lambda via golden-section search on the YJ log-likelihood
+    (the same objective sklearn's PowerTransformer optimizes with
+    Brent; golden-section needs no scipy and is deterministic)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=float)
+    x = x[~np.isnan(x)]
+    if x.size < 2:
+        return 1.0  # identity-ish
+
+    log1p_term = np.sign(x) * np.log1p(np.abs(x))
+
+    def neg_loglik(lmb: float) -> float:
+        psi = _yj_numpy(x, lmb)
+        var = psi.var()
+        if not np.isfinite(var) or var <= 0:
+            return math.inf
+        return 0.5 * x.size * math.log(var) - (lmb - 1.0) * log1p_term.sum()
+
+    invphi = (math.sqrt(5.0) - 1.0) / 2.0
+    a, b = lo, hi
+    c, d = b - invphi * (b - a), a + invphi * (b - a)
+    fc, fd = neg_loglik(c), neg_loglik(d)
+    for _ in range(iters):
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - invphi * (b - a)
+            fc = neg_loglik(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + invphi * (b - a)
+            fd = neg_loglik(d)
+    return float((a + b) / 2.0)
+
+
+class StepPowerTransform(_FittedStep):
+    """Yeo-Johnson power transform with optional standardization
+    (sklearn PowerTransformer analog, reference test_steps.py:406–425).
+
+    fit: per-column lambda by MLE on a deterministic hash-top-k sample
+    (``fit_sample_rows``; the objective is smooth, a sample suffices and
+    keeps the fit one small collect), then exact decimal mean /
+    population std of the transformed column over the FULL data (one
+    Spark aggregation) when ``standardize=True``.
+    transform: pure column expression with the frozen parameters."""
+
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        standardize: bool = True,
+        fit_sample_rows: int = 100_000,
+    ) -> None:
+        super().__init__(sel)
+        self.standardize = standardize
+        self.fit_sample_rows = fit_sample_rows
+        self.desc = "Yeo-Johnson power transform"
+
+    def do_fit(self, ingredients: Ingredients) -> None:
+        from recipys_spark.functions.deterministic import det_mean, det_stddev_pop
+
+        df = ingredients.df.select(*self.columns)
+        h = F.xxhash64(*[F.col(c) for c in self.columns])
+        sample = (
+            df.withColumn("__h", h)
+            .orderBy("__h")
+            .limit(self.fit_sample_rows)
+            .drop("__h")
+            .toPandas()
+        )
+        lambdas = {
+            c: fit_yeo_johnson_lambda(sample[c].to_numpy(dtype=float))
+            for c in self.columns
+        }
+        state = {c: {"lmbda": lambdas[c]} for c in self.columns}
+        if self.standardize:
+            aggs = []
+            for c in self.columns:
+                t = yeo_johnson_expr(F.col(c), lambdas[c])
+                aggs += [
+                    det_mean(t).alias(f"__mean_{c}"),
+                    det_stddev_pop(t).alias(f"__std_{c}"),
+                ]
+            row = ingredients.df.agg(*aggs).first().asDict()
+            for c in self.columns:
+                state[c]["mean"] = row[f"__mean_{c}"]
+                state[c]["std"] = row[f"__std_{c}"]
+        self.state = state
+
+    def do_transform(self, ingredients: Ingredients):
+        exprs = {}
+        for c in self.columns:
+            p = self.state[c]
+            e = yeo_johnson_expr(F.col(c), p["lmbda"])
+            if self.standardize:
+                std = p["std"] if p["std"] else 1.0
+                e = (e - F.lit(p["mean"])) / F.lit(std)
+            exprs[c] = e
+        return self._replace(ingredients, exprs)

@@ -8,7 +8,9 @@ Arrow-batched ``mapInPandas`` (no per-row Python).
 
 sklearn is NOT a dependency of this engine: the native steps in
 scale.py / encode.py cover the transformers the reference tests use.
-This module import-gates sklearn and is exercised only when available.
+Any object with sklearn's ``fit``/``transform`` protocol is accepted
+(duck-typed), so the hatch is fully exercisable without sklearn
+installed; real sklearn objects work unchanged when present.
 """
 
 from __future__ import annotations
@@ -44,8 +46,19 @@ class StepSklearn(Step):
         role: str = "predictor",
         fit_sample_rows: Optional[int] = None,
     ) -> None:
-        if not HAS_SKLEARN:
-            raise ImportError("StepSklearn requires scikit-learn, which is not installed")
+        if not (
+            hasattr(sklearn_transformer, "fit")
+            and hasattr(sklearn_transformer, "transform")
+        ):
+            if not HAS_SKLEARN:
+                raise ImportError(
+                    "StepSklearn needs an object with fit/transform "
+                    "(scikit-learn is not installed in this environment)"
+                )
+            raise TypeError(
+                f"{type(sklearn_transformer).__name__} has no fit/transform; "
+                "pass an sklearn-style transformer"
+            )
         super().__init__(sel if sel is not None else all_predictors())
         self.transformer = sklearn_transformer
         self.columnwise = columnwise
@@ -58,7 +71,18 @@ class StepSklearn(Step):
     def do_fit(self, ingredients: Ingredients) -> None:
         df = ingredients.df.select(*self.columns)
         if self.fit_sample_rows is not None:
-            df = df.limit(self.fit_sample_rows)
+            # Deterministic sample: `limit` on a distributed frame
+            # depends on partition order, which would break the
+            # prep≡bake / refit determinism rule. Top-k by content hash
+            # is a distributed TakeOrdered — same rows for ANY
+            # partitioning of the same data.
+            h = F.xxhash64(*[F.col(c) for c in self.columns])
+            df = (
+                df.withColumn("__h", h)
+                .orderBy("__h")
+                .limit(self.fit_sample_rows)
+                .drop("__h")
+            )
         pdf = df.toPandas()
         if self.columnwise:
             self.fitted = {}
@@ -97,9 +121,10 @@ class StepSklearn(Step):
             if in_place and any(n != 1 for n in n_out_per_col.values()):
                 raise ValueError("Transformer changes dimensionality; use in_place=False")
         else:
-            out = np.asarray(fitted.transform(sample))
-            if hasattr(out, "toarray"):
+            raw = fitted.transform(sample)
+            if hasattr(raw, "toarray"):
                 raise TypeError("Sparse sklearn output is not supported")
+            out = np.asarray(raw)
             n_out = out.shape[1] if out.ndim > 1 else 1
             if in_place and n_out != len(columns):
                 raise ValueError("Transformer changes dimensionality; use in_place=False")

@@ -210,3 +210,25 @@ def test_save_load_state(spark, tmp_path):
     rec2.load_state(path)
     baked = collect_sorted(rec2.bake())
     np.testing.assert_allclose(baked["x1"].to_numpy(), prepped["x1"].to_numpy())
+
+
+def test_encoder_cardinality_guard(spark):
+    """A high-cardinality column must fail fast BEFORE collect_set
+    pulls the category set onto the driver."""
+    from recipys_spark.operators import StepOneHotEncode, StepOrdinalEncode
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(
+        F.col("id"), F.concat(F.lit("u"), F.col("id")).alias("user")
+    )
+    rec = Recipe(df, predictors=["user"]).add_step(
+        StepOrdinalEncode(sel=all_of(["user"]), max_categories=100)
+    )
+    with pytest.raises(ValueError, match="max_categories"):
+        rec.prep()
+
+    rec2 = Recipe(df, predictors=["user"]).add_step(
+        StepOneHotEncode(sel=all_of(["user"]), max_categories=100)
+    )
+    with pytest.raises(ValueError, match="max_categories"):
+        rec2.prep()
