@@ -186,6 +186,73 @@ def minhash_lsh_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list: returns
+    (node, comp) where comp = the minimum node id reachable from node.
+
+    Alternating min-label propagation with pointer jumping: each round
+    (a) every node takes the min label among itself and its neighbors
+    (one shuffle join + groupBy over the EDGE table), then (b) labels
+    chase their own parent (labels ⋈ labels), which halves chain depth
+    — convergence in O(log diameter) rounds, not O(diameter). The
+    label table (one row per node touched by an edge) is
+    localCheckpoint-ed per round to truncate lineage; the driver only
+    ever sees a one-row convergence probe, never the data."""
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    )
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("node").alias("d"), F.col("comp").alias("__nc")),
+                "d",
+            )
+            .groupBy("s")
+            .agg(F.min("__nc").alias("__mn"))
+            .select(F.col("s").alias("node"), "__mn")
+        )
+        prop = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("__mn", F.col("comp"))).alias("comp"),
+        )
+        # pointer jumping: comp := comp's comp
+        jumped = (
+            prop.alias("l")
+            .join(
+                prop.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("__pc")
+                ).alias("p"),
+                "comp",
+                "left",
+            )
+            .select("node", F.coalesce("__pc", F.col("comp")).alias("comp"))
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("comp").alias("__old")), "node"
+            )
+            .where(F.col("comp") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -194,21 +261,31 @@ def minhash_dedup(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
+    connected: bool = True,
 ) -> DataFrame:
     """Per-doc near-dup labels: (id, cluster_id, is_duplicate).
 
-    cluster_id = the doc's verified star hub (min id among its verified
-    near-dup edges), or the doc's own id if it has none. One label-
-    propagation pass covers the common boilerplate-cluster case; chains
-    longer than one hop keep distinct hubs (documented approximation —
-    run the pass iteratively for full connected components)."""
+    cluster_id = the minimum doc id in the doc's connected component of
+    the verified near-dup graph (connected_components over the star
+    edges, iterated to a fixpoint), so chained near-dups A≈B≈C share
+    one cluster even when A and C never co-bucket. ``connected=False``
+    restores the cheaper one-hop hub labeling (each doc's min verified
+    hub; chains keep distinct hubs)."""
     edges = minhash_lsh_pairs(
         df, text_col, id_col, num_hashes, bands, threshold, seed, link="star"
     )
-    hubs = edges.groupBy("id_b").agg(F.min("id_a").alias("__hub"))
+    if connected:
+        comps = connected_components(edges)
+        labels = comps.select(
+            F.col("node").alias(id_col), F.col("comp").alias("__hub")
+        ).where(F.col(id_col) != F.col("__hub"))
+    else:
+        labels = edges.groupBy("id_b").agg(F.min("id_a").alias("__hub")).select(
+            F.col("id_b").alias(id_col), "__hub"
+        )
     return (
         df.select(F.col(id_col))
-        .join(hubs.withColumnRenamed("id_b", id_col), id_col, "left")
+        .join(labels, id_col, "left")
         .select(
             id_col,
             F.coalesce("__hub", F.col(id_col)).alias("cluster_id"),

@@ -106,25 +106,56 @@ def lsh_cosine_topk(
     dim: int = 64,
     multiprobe: bool = True,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Bucketed ANN: join queries to corpus rows sharing a hyperplane
     signature bucket (and, with multiprobe, all Hamming-1 buckets),
-    then exact cosine + top-k within the candidates."""
+    then exact cosine + top-k within the candidates.
+
+    Sizing at scale (parameter guidance, not enforced):
+
+    - ``n_planes`` sets the bucket count (2^n_planes) and therefore the
+      expected bucket size |corpus| / 2^n_planes — the quantity that
+      bounds per-probe join fan-out. Pick
+      ``n_planes ≈ log2(|corpus| / target_bucket_rows)`` with
+      target_bucket_rows ~ 10^3–10^4: 10^6 vectors → ~8–10 planes,
+      10^9 → ~17–20, 10^11 → ~24–27. More planes = smaller buckets =
+      faster but lower per-table recall.
+    - ``n_tables`` is the OR-construction (same banding idea as
+      MinHash-LSH): each table hashes with an independent plane set
+      (seed offset), a candidate needs to co-bucket in ANY table —
+      recall ≈ 1-(1-p^n_planes)^n_tables per neighbor. Raise n_tables
+      (2–8) to recover the recall that extra planes cost; candidate
+      volume grows linearly with it, never quadratically.
+    """
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
+    table_seeds = [seed + 7919 * t for t in range(n_tables)]
+
+    def buckets(col, probe: bool):
+        out = []
+        for t, ts in enumerate(table_seeds):
+            sig = hyperplane_signature(col, n_planes, dim, ts)
+            sigs = [sig] + (
+                [sig.bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(n_planes)]
+                if probe
+                else []
+            )
+            # disambiguate tables by offsetting the bucket id space
+            out += [s + F.lit(t << (n_planes + 1)).cast("long") for s in sigs]
+        return out
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("__ce"),
-        hyperplane_signature(F.col(emb_col), n_planes, dim, seed).alias("__bucket"),
-    )
-    qsig = hyperplane_signature(F.col(emb_col), n_planes, dim, seed)
-    probes = [qsig] + (
-        [qsig.bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(n_planes)]
-        if multiprobe
-        else []
+        F.explode(F.array(*buckets(F.col(emb_col), probe=False))).alias("__bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("__qe"),
-        F.explode(F.array(*probes)).alias("__bucket"),
+        F.explode(F.array(*buckets(F.col(emb_col), probe=multiprobe))).alias(
+            "__bucket"
+        ),
     )
     scored = (
         q.join(c, "__bucket")

@@ -37,6 +37,44 @@ def _as_list(x) -> list[str]:
     return list(x)
 
 
+def _tag_value(o):
+    """JSON encoder for fitted-state values that JSON has no native type
+    for. Explicit type tags instead of ``default=str``: a date or
+    Decimal category silently round-tripping as a *string* would make a
+    reloaded encoder build literal comparisons of the wrong type and
+    emit nulls instead of encodings."""
+    import datetime
+    import decimal
+
+    if isinstance(o, datetime.datetime):
+        return {"__type": "datetime", "v": o.isoformat()}
+    if isinstance(o, datetime.date):
+        return {"__type": "date", "v": o.isoformat()}
+    if isinstance(o, decimal.Decimal):
+        return {"__type": "decimal", "v": str(o)}
+    raise TypeError(
+        f"fitted state contains unserializable {type(o).__name__}: {o!r}"
+    )
+
+
+def _untag(obj):
+    import datetime
+    import decimal
+
+    if isinstance(obj, dict):
+        t = obj.get("__type")
+        if t == "datetime":
+            return datetime.datetime.fromisoformat(obj["v"])
+        if t == "date":
+            return datetime.date.fromisoformat(obj["v"])
+        if t == "decimal":
+            return decimal.Decimal(obj["v"])
+        return {k: _untag(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_untag(v) for v in obj]
+    return obj
+
+
 class Recipe:
     def __init__(
         self,
@@ -50,8 +88,9 @@ class Recipe:
             ingredients = data
         else:
             ingredients = Ingredients(data)
-        self.data = ingredients
+        self.data: Optional[Ingredients] = ingredients
         self.original_columns = list(ingredients.columns)
+        self._cached_roles: dict = {}
         self.steps: list[Step] = []
         for col in _as_list(outcomes):
             self.data = self.data.update_role(col, "outcome")
@@ -93,11 +132,17 @@ class Recipe:
         """Input must carry exactly the original column set
         (reference recipe.py:114–127)."""
         if data is None:
+            if self.data is None:
+                raise ValueError(
+                    "recipe was cache()d (data reference dropped); "
+                    "pass data= to prep/bake"
+                )
             return self.data
+        roles = self.data.roles if self.data is not None else self._cached_roles
         if isinstance(data, Ingredients):
-            ing = Ingredients(data.df, self.data.roles, check_roles=False)
+            ing = Ingredients(data.df, roles, check_roles=False)
         else:
-            ing = Ingredients(data, self.data.roles, check_roles=False)
+            ing = Ingredients(data, roles, check_roles=False)
         if list(ing.columns) != self.original_columns:
             raise ValueError(
                 "Columns of data argument differ from the recipe data: "
@@ -122,7 +167,10 @@ class Recipe:
         ingredients = self._check_data(data)
         result = self._apply_fit_transform(ingredients, refit=refit)
         # record post-prep roles so bake wraps inputs consistently
-        self.data = Ingredients(self.data.df, result.roles, check_roles=False)
+        if self.data is not None:
+            self.data = Ingredients(self.data.df, result.roles, check_roles=False)
+        else:
+            self._cached_roles = dict(result.roles)
         return result.df
 
     def bake(self, data: Optional[Union[DataFrame, Ingredients]] = None) -> DataFrame:
@@ -135,10 +183,24 @@ class Recipe:
 
     # -- fitted-state persistence (reference Recipe.cache analog) ---------
 
+    def cache(self, path: Optional[str] = None) -> "Recipe":
+        """Literal reference API (reference recipe.py:198–202): drop the
+        bound data reference so the fitted recipe is a small picklable /
+        serializable object; prep/bake afterwards require an explicit
+        ``data=``. Optionally also persists the fitted-state manifest
+        (``save_state``) when a path is given."""
+        if path is not None:
+            self.save_state(path)
+        if self.data is not None:
+            self._cached_roles = dict(self.data.roles)
+            self.data = None
+        return self
+
     def save_state(self, path: str) -> None:
+        roles = self.data.roles if self.data is not None else self._cached_roles
         state = {
             "original_columns": self.original_columns,
-            "roles": self.data.roles,
+            "roles": roles,
             "steps": [
                 {
                     "type": type(s).__name__,
@@ -152,12 +214,12 @@ class Recipe:
             ],
         }
         with open(path, "w") as f:
-            json.dump(state, f, indent=1, default=str)
+            json.dump(state, f, indent=1, default=_tag_value)
 
     def load_state(self, path: str) -> "Recipe":
         """Restore fitted state into a recipe with the same step list."""
         with open(path) as f:
-            state = json.load(f)
+            state = _untag(json.load(f))
         if len(state["steps"]) != len(self.steps):
             raise ValueError("step count mismatch between recipe and saved state")
         for step, st in zip(self.steps, state["steps"]):

@@ -57,6 +57,55 @@ def get_spark(
     return b.getOrCreate()
 
 
+def find_iceberg_jar() -> Optional[str]:
+    """Locate an iceberg-spark-runtime jar: $SPARK_GRAFT_ICEBERG_JAR,
+    then the usual local caches. Returns None when absent (this sandbox
+    has no network; the jar is a public Maven artifact elsewhere)."""
+    import glob
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if env and os.path.exists(env):
+        return env
+    for pat in (
+        os.path.expanduser("~/.ivy2/jars/*iceberg-spark-runtime*.jar"),
+        os.path.expanduser("~/jars/*iceberg-spark-runtime*.jar"),
+        "/opt/spark/jars/*iceberg-spark-runtime*.jar",
+    ):
+        hits = sorted(glob.glob(pat))
+        if hits:
+            return hits[-1]
+    return None
+
+
+def get_spark_iceberg(
+    warehouse: str,
+    catalog: str = "local",
+    jar: Optional[str] = None,
+    parallelism: int = 8,
+    **kw,
+) -> SparkSession:
+    """Session with a Hadoop-type Iceberg catalog at ``warehouse``.
+    Raises if no runtime jar can be found — call ``find_iceberg_jar()``
+    first to gate gracefully."""
+    jar = jar or find_iceberg_jar()
+    if jar is None:
+        raise RuntimeError(
+            "no iceberg-spark-runtime jar found; set SPARK_GRAFT_ICEBERG_JAR"
+        )
+    conf = {
+        "spark.jars": jar,
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+    conf.update(kw.pop("extra_conf", {}) or {})
+    return get_spark(parallelism=parallelism, extra_conf=conf, **kw)
+
+
 def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
     """Iceberg table name (contains a catalog dot and no slash) or a
     parquet path."""

@@ -153,3 +153,100 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample(synthetic_media(spark, n=30), every_ms=1000).toPandas()
     assert (frames.frame_ms % 1000 == 0).all()
     assert len(frames) > 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A long chain collapses to one component in O(log n) rounds;
+    disconnected islands stay separate."""
+    import pandas as pd
+
+    from recipys_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 12)]          # 1-2-3-...-12
+    island = [(100, 101), (101, 102), (200, 201)]       # two more comps
+    edges = spark.createDataFrame(
+        pd.DataFrame(chain + island, columns=["id_a", "id_b"])
+    )
+    got = {
+        r.node: r.comp for r in connected_components(edges).collect()
+    }
+    assert all(got[n] == 1 for n in range(1, 13))
+    assert all(got[n] == 100 for n in (100, 101, 102))
+    assert got[200] == got[201] == 200
+
+
+def test_minhash_dedup_transitive_chain(spark):
+    """A≈B≈C near-dup chain shares ONE cluster id even though A and C
+    are not direct near-dups (connected components over star edges)."""
+    base = [f"w{i}" for i in range(20)]
+    a = " ".join(base)                                   # {w0..w19}
+    b = " ".join(base[4:] + ["x0", "x1", "x2", "x3"])    # j(a,b)=16/24=0.67
+    c = " ".join(base[8:] + [f"x{i}" for i in range(8)]) # j(b,c)=16/24, j(a,c)=12/28=0.43
+    other = "completely different content entirely unrelated words"
+    import pandas as pd
+
+    from recipys_spark.operators.dedup import jaccard_pairs, minhash_dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4], "text": [a, b, c, other], "lang": "en"}
+        )
+    )
+    # sanity: A-C really is below the threshold (no direct edge)
+    direct = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    assert (1, 3) not in direct and (1, 2) in direct and (2, 3) in direct
+
+    got = {
+        r.doc_id: (r.cluster_id, r.is_duplicate)
+        for r in minhash_dedup(docs, threshold=0.6, num_hashes=64, bands=32).collect()
+    }
+    assert got[1] == (1, False)
+    assert got[2] == (1, True)
+    assert got[3] == (1, True), got
+    assert got[4] == (4, False)
+
+
+def test_minhash_dedup_one_hop_mode(spark):
+    """connected=False keeps the cheaper one-hop hub labeling."""
+    import pandas as pd
+
+    from recipys_spark.operators.dedup import minhash_dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["alpha beta gamma delta"] * 2,
+                "lang": "en",
+            }
+        )
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.is_duplicate)
+        for r in minhash_dedup(docs, connected=False).collect()
+    }
+    assert got[1] == (1, False) and got[2] == (1, True)
+
+
+def test_lsh_topk_multi_table_improves_recall(spark, embeddings):
+    """OR-construction across independent hyperplane tables: recall at
+    n_tables=4 must be >= the single-table recall (and find the
+    engineered pair even without multiprobe)."""
+    brute = cosine_topk(embeddings, embeddings, k=1).toPandas()
+    b = dict(zip(brute.query_id, brute.neighbor_id))
+
+    def recall(n_tables):
+        approx = lsh_cosine_topk(
+            embeddings, embeddings, k=1, n_planes=4, dim=8,
+            multiprobe=False, n_tables=n_tables,
+        ).toPandas()
+        a = dict(zip(approx.query_id, approx.neighbor_id))
+        return sum(1 for q in b if a.get(q) == b[q]) / len(b), a
+
+    r1, _ = recall(1)
+    r4, a4 = recall(4)
+    assert r4 >= r1, (r1, r4)
+    assert a4.get(0) == 5 and a4.get(5) == 0

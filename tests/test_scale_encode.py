@@ -232,3 +232,52 @@ def test_encoder_cardinality_guard(spark):
     )
     with pytest.raises(ValueError, match="max_categories"):
         rec2.prep()
+
+
+def test_recipe_cache_literal_api(spark, tmp_path):
+    """Reference Recipe.cache() parity: drops the data reference, the
+    fitted recipe stays usable with explicit data, and is picklable."""
+    import pickle
+
+    from recipys_spark.operators import StepScale
+
+    pdf = make_example_pdf()
+    df = spark.createDataFrame(pdf)
+    rec = Recipe(df, predictors=["x1"]).add_step(StepScale(sel=all_of(["x1"])))
+    before = collect_sorted(rec.prep())
+    rec.cache(str(tmp_path / "state.json"))
+    assert rec.data is None
+    with pytest.raises(ValueError, match="cache"):
+        rec.prep()
+    after = collect_sorted(rec.bake(df))
+    np.testing.assert_array_equal(
+        before["x1"].to_numpy(), after["x1"].to_numpy()
+    )
+    pickle.dumps(rec.steps[0].get_state())  # fitted state is tiny/plain
+
+
+def test_save_state_typed_categories_roundtrip(spark, tmp_path):
+    """Date categories must round-trip as dates, not strings — a
+    string-typed literal comparison against a date column yields nulls."""
+    import datetime
+
+    import pandas as pd
+
+    from recipys_spark.operators import StepOrdinalEncode
+
+    days = [datetime.date(2024, 1, d) for d in (1, 2, 3)]
+    pdf = pd.DataFrame({"id": range(9), "day": [days[i % 3] for i in range(9)]})
+    df = spark.createDataFrame(pdf)
+
+    rec = Recipe(df, predictors=["day"]).add_step(StepOrdinalEncode(sel=all_of(["day"])))
+    before = collect_sorted(rec.prep(), keys=("id",))
+    p = str(tmp_path / "state.json")
+    rec.save_state(p)
+
+    rec2 = Recipe(df, predictors=["day"]).add_step(StepOrdinalEncode(sel=all_of(["day"])))
+    rec2.load_state(p)
+    cats = rec2.steps[0].categories["day"]
+    assert all(isinstance(c, datetime.date) for c in cats), cats
+    after = collect_sorted(rec2.bake(df), keys=("id",))
+    assert not after["day"].isna().any()
+    np.testing.assert_array_equal(before["day"].to_numpy(), after["day"].to_numpy())
