@@ -419,6 +419,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["polynomial_features"] = poly_q
 
+    def spline_q(s, d):
+        from recipys_spark.operators import StepSpline
+
+        li = _t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+        step = StepSpline(sel=all_of(["l_quantity"]), n_knots=5, degree=3)
+        rec = Recipe(li, predictors=["l_quantity"])
+        rec.add_step(step)
+        out = rec.prep()
+        return out.select(
+            "l_orderkey",
+            "l_linenumber",
+            *[f"Spline_{i}" for i in range(1, step.n_basis + 1)],
+        )
+
+    q["spline_basis"] = spline_q
+
     # -- encoders (§2.1 sklearn table) -------------------------------------
     def ordinal(s, d):
         o = _t(s, d, "orders").select("o_orderkey", "o_orderpriority")
@@ -575,6 +591,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_features"] = media_features
 
     return q
+
+
+def _spline_oracle_sql(
+    table: str,
+    xcol: str,
+    keys: list,
+    n_knots: int = 5,
+    degree: int = 3,
+    prefix: str = "Spline",
+) -> str:
+    """SQL mirror of StepSpline (mathtrans.bspline_basis_exprs): uniform
+    knots from min/max, sklearn-style extension, Cox-de Boor unrolled
+    into stepwise CTE levels. Every operation is IEEE +,-,*,/ on the
+    same operands as the Spark plan, so values hash bit-identically."""
+    n_ext = n_knots + 2 * degree
+    fracs = [i / (n_knots - 1) for i in range(n_knots)]
+    base = [f"(mn + {f!r} * (mx - mn))" for f in fracs]
+    d0 = f"({base[1]} - {base[0]})"
+    d1 = f"({base[-1]} - {base[-2]})"
+    ext = (
+        [f"({base[0]} - {degree - i} * {d0})" for i in range(degree)]
+        + base
+        + [f"({base[-1]} + {i + 1} * {d1})" for i in range(degree)]
+    )
+    key_sql = ", ".join(keys)
+    knot_cols = ", ".join(f"{e} AS e{j}" for j, e in enumerate(ext))
+    lines = [
+        f"WITH s AS (SELECT min({xcol}) AS mn, max({xcol}) AS mx FROM {table})",
+        f", k AS (SELECT {knot_cols} FROM s)",
+        f", l AS (SELECT {key_sql}, "
+        f"least(greatest(CAST({xcol} AS DOUBLE), e{degree}), e{n_ext - 1 - degree})"
+        f" AS xc, k.* FROM {table}, k)",
+    ]
+    closing = n_ext - degree - 2
+    b0 = []
+    for i in range(n_ext - 1):
+        if i > closing:
+            b0.append("0.0")
+        elif i == closing:
+            b0.append(
+                f"CASE WHEN xc >= e{i} AND xc <= e{i + 1} THEN 1.0 ELSE 0.0 END"
+            )
+        else:
+            b0.append(
+                f"CASE WHEN xc >= e{i} AND xc < e{i + 1} THEN 1.0 ELSE 0.0 END"
+            )
+    lines.append(
+        ", b0 AS (SELECT *, "
+        + ", ".join(f"{e} AS b0_{i}" for i, e in enumerate(b0))
+        + " FROM l)"
+    )
+    for d in range(1, degree + 1):
+        exprs = []
+        for i in range(n_ext - d - 1):
+            t1 = f"((xc - e{i}) / (e{i + d} - e{i})) * b{d - 1}_{i}"
+            t2 = f"((e{i + d + 1} - xc) / (e{i + d + 1} - e{i + 1})) * b{d - 1}_{i + 1}"
+            exprs.append(f"({t1} + {t2}) AS b{d}_{i}")
+        lines.append(f", b{d} AS (SELECT *, " + ", ".join(exprs) + f" FROM b{d - 1})")
+    n_basis = n_knots + degree - 1
+    sel = ", ".join(
+        f"b{degree}_{i} AS {prefix}_{i + 1}" for i in range(n_basis)
+    )
+    lines.append(f"SELECT {key_sql}, {sel} FROM b{degree}")
+    return "\n".join(lines)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -740,6 +820,10 @@ def oracle_sql() -> dict[str, str]:
         "l_quantity * l_quantity AS qty_sq, "
         "l_quantity * l_discount AS qty_disc, "
         "l_discount * l_discount AS disc_sq FROM lineitem"
+    )
+
+    o["spline_basis"] = _spline_oracle_sql(
+        "lineitem", "l_quantity", ["l_orderkey", "l_linenumber"]
     )
 
     o["ordinal_encode"] = (

@@ -32,15 +32,20 @@ from recipys_spark.sources.io import get_spark, synthetic_transcripts
 HEADLINE = [
     "hist_mean",
     "hist_max",
+    "hist_median",
     "hist_var",
     "impute_ffill",
     "impute_ffill_limit",
+    "impute_group_mean",
     "lag_lead",
     "sessionize",
     "resample_2h_agg",
     "asof_join",
+    "asof_join_salted",
     "scale_standard",
     "ordinal_encode",
+    "log1p_transform",
+    "polynomial_features",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_features",

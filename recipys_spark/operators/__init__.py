@@ -34,6 +34,7 @@ from recipys_spark.operators.mathtrans import (
     StepLog1p,
     StepPolynomialFeatures,
     StepPowerTransform,
+    StepSpline,
 )
 from recipys_spark.operators.sklearn_compat import StepSklearn
 
@@ -67,5 +68,6 @@ __all__ = [
     "StepScale",
     "StepSessionize",
     "StepSklearn",
+    "StepSpline",
     "asof_join",
 ]

@@ -200,6 +200,187 @@ def fit_yeo_johnson_lambda(x, lo: float = -5.0, hi: float = 5.0, iters: int = 80
     return float((a + b) / 2.0)
 
 
+def _extend_knots(base: list, degree: int) -> list:
+    """sklearn SplineTransformer knot extension (periodic=False): pad
+    ``degree`` knots on each side, spaced like the first/last gap."""
+    d0 = base[1] - base[0]
+    d1 = base[-1] - base[-2]
+    lo = [base[0] - (degree - i) * d0 for i in range(degree)]
+    hi = [base[-1] + (i + 1) * d1 for i in range(degree)]
+    return lo + list(base) + hi
+
+
+def bspline_basis_exprs(x, knots: list, degree: int):
+    """All B-spline basis functions over an extended knot vector, by
+    Cox-de Boor recursion unrolled into literal column expressions —
+    pure JVM math, whole-stage codegen, no UDF. ``x`` should already be
+    clamped to [knots[degree], knots[-degree-1]] for constant
+    extrapolation."""
+    closing = len(knots) - degree - 2  # the interval ending at upper
+    B = []
+    for i in range(len(knots) - 1):
+        lo, hi = knots[i], knots[i + 1]
+        if hi == lo or i > closing:
+            # empty, or entirely at/above the clamp range: x == upper
+            # must belong only to the closing interval below
+            B.append(F.lit(0.0))
+        elif i == closing:
+            # closed on both ends so x == max belongs to the last
+            # basis function (scipy design_matrix behavior)
+            B.append(F.when((x >= F.lit(lo)) & (x <= F.lit(hi)), 1.0).otherwise(0.0))
+        else:
+            B.append(F.when((x >= F.lit(lo)) & (x < F.lit(hi)), 1.0).otherwise(0.0))
+    for d in range(1, degree + 1):
+        nxt = []
+        for i in range(len(knots) - d - 1):
+            den1 = knots[i + d] - knots[i]
+            den2 = knots[i + d + 1] - knots[i + 1]
+            t1 = (
+                ((x - F.lit(knots[i])) / F.lit(den1)) * B[i]
+                if den1 > 0
+                else F.lit(0.0)
+            )
+            t2 = (
+                ((F.lit(knots[i + d + 1]) - x) / F.lit(den2)) * B[i + 1]
+                if den2 > 0
+                else F.lit(0.0)
+            )
+            nxt.append(t1 + t2)
+        B = nxt
+    return B
+
+
+def _bspline_numpy(x, knots: list, degree: int):
+    """numpy mirror of bspline_basis_exprs (the test oracle)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=float)
+    upper = knots[-degree - 1]
+    lower = knots[degree]
+    x = np.clip(x, lower, upper)
+    closing = len(knots) - degree - 2
+    B = []
+    for i in range(len(knots) - 1):
+        lo, hi = knots[i], knots[i + 1]
+        if hi == lo or i > closing:
+            B.append(np.zeros_like(x))
+        elif i == closing:
+            B.append(((x >= lo) & (x <= hi)).astype(float))
+        else:
+            B.append(((x >= lo) & (x < hi)).astype(float))
+    for d in range(1, degree + 1):
+        nxt = []
+        for i in range(len(knots) - d - 1):
+            den1 = knots[i + d] - knots[i]
+            den2 = knots[i + d + 1] - knots[i + 1]
+            t1 = ((x - knots[i]) / den1) * B[i] if den1 > 0 else 0.0
+            t2 = ((knots[i + d + 1] - x) / den2) * B[i + 1] if den2 > 0 else 0.0
+            nxt.append(t1 + t2)
+        B = nxt
+    return B
+
+
+class StepSpline(_FittedStep):
+    """B-spline basis expansion (sklearn SplineTransformer analog,
+    reference test_steps.py:406–425 family). Emits
+    ``n_knots + degree - 1`` basis columns per selected column, named
+    ``Spline_{i}`` 1-indexed across columns (reference StepSklearn
+    naming convention).
+
+    fit: per-column knot positions — 'uniform' (linspace over min/max)
+    or 'quantile' (exact percentiles), one small aggregation job.
+    transform: Cox-de Boor unrolled to literal expressions; constant
+    extrapolation outside the fitted range via clamping (bake data may
+    exceed the prep range without producing nulls)."""
+
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        n_knots: int = 5,
+        degree: int = 3,
+        knots: str = "uniform",
+        prefix: str = "Spline",
+        role: str = "predictor",
+    ) -> None:
+        super().__init__(sel)
+        if n_knots < 2:
+            raise ValueError("n_knots must be >= 2")
+        if degree < 1:
+            raise ValueError("degree must be >= 1")
+        if knots not in ("uniform", "quantile"):
+            raise ValueError("knots must be 'uniform' or 'quantile'")
+        self.n_knots = n_knots
+        self.degree = degree
+        self.knots = knots
+        self.prefix = prefix
+        self.role = role
+        self.desc = f"B-spline basis (degree {degree}, {n_knots} knots)"
+
+    @property
+    def n_basis(self) -> int:
+        return self.n_knots + self.degree - 2 + 1  # n_knots + degree - 1
+
+    def do_fit(self, ingredients: Ingredients) -> None:
+        df = ingredients.df
+        fracs = [i / (self.n_knots - 1) for i in range(self.n_knots)]
+        if self.knots == "uniform":
+            aggs = []
+            for c in self.columns:
+                aggs += [
+                    F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+                ]
+            row = df.agg(*aggs).first().asDict()
+            base = {
+                c: [
+                    row[f"__mn_{c}"] + f * (row[f"__mx_{c}"] - row[f"__mn_{c}"])
+                    for f in fracs
+                ]
+                for c in self.columns
+            }
+        else:
+            aggs = [
+                F.expr(
+                    f"percentile({c}, array({','.join(str(f) for f in fracs)}))"
+                ).alias(c)
+                for c in self.columns
+            ]
+            row = df.agg(*aggs).first().asDict()
+            base = {c: [float(v) for v in row[c]] for c in self.columns}
+        self.state = {c: {"base_knots": base[c]} for c in self.columns}
+
+    def _out_names(self) -> list[tuple[str, int, str]]:
+        out = []
+        i = 1
+        for c in self.columns:
+            for j in range(self.n_basis):
+                out.append((c, j, f"{self.prefix}_{i}"))
+                i += 1
+        return out
+
+    def new_column_roles(self) -> dict[str, str]:
+        return {name: self.role for _, _, name in self._out_names()}
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        exprs = []
+        for c in self.columns:
+            base = self.state[c]["base_knots"]
+            ext = _extend_knots(base, self.degree)
+            lo, hi = base[0], base[-1]
+            xc = F.least(
+                F.greatest(F.col(c).cast("double"), F.lit(float(lo))),
+                F.lit(float(hi)),
+            )
+            basis = bspline_basis_exprs(xc, ext, self.degree)
+            for j, b in enumerate(basis):
+                exprs.append(b)
+        named = [
+            e.alias(name) for e, (_, _, name) in zip(exprs, self._out_names())
+        ]
+        return df.select("*", *named)
+
+
 class StepPowerTransform(_FittedStep):
     """Yeo-Johnson power transform with optional standardization
     (sklearn PowerTransformer analog, reference test_steps.py:406–425).

@@ -148,3 +148,65 @@ def test_power_transform_standardizes(spark):
     # prep ≡ bake with frozen lambda/mean/std
     baked = rec.bake(df).orderBy("id").toPandas()["x1"].to_numpy()
     np.testing.assert_array_equal(got, baked)
+
+
+def _partition_of_unity_check(got, prefix, n_basis):
+    cols = [f"{prefix}_{i}" for i in range(1, n_basis + 1)]
+    total = sum(got[c].to_numpy() for c in cols)
+    np.testing.assert_allclose(total, 1.0, atol=1e-12)
+    for c in cols:
+        v = got[c].to_numpy()
+        assert (v >= -1e-12).all() and (v <= 1 + 1e-12).all()
+
+
+@pytest.mark.parametrize("knots", ["uniform", "quantile"])
+def test_spline_basis_properties_and_numpy_parity(spark, pdf, knots):
+    from recipys_spark.operators import StepSpline
+    from recipys_spark.operators.mathtrans import _bspline_numpy, _extend_knots
+
+    step = StepSpline(sel=all_of(["x1"]), n_knots=5, degree=3, knots=knots)
+    rec = Recipe(spark.createDataFrame(pdf), predictors=["x1"]).add_step(step)
+    got = rec.prep().orderBy("id").toPandas()
+    n_basis = step.n_basis
+    assert n_basis == 7
+    _partition_of_unity_check(got, "Spline", n_basis)
+
+    # exact parity with the numpy mirror at the fitted knots
+    ext = _extend_knots(step.state["x1"]["base_knots"], 3)
+    oracle = _bspline_numpy(pdf["x1"].to_numpy(), ext, 3)
+    for i in range(n_basis):
+        np.testing.assert_allclose(
+            got[f"Spline_{i+1}"].to_numpy(), oracle[i], atol=1e-12, err_msg=str(i)
+        )
+
+
+def test_spline_constant_extrapolation(spark, pdf):
+    """Bake data outside the fitted range must clamp (constant
+    extrapolation), not produce zeros/nulls."""
+    from recipys_spark.operators import StepSpline
+
+    import pandas as pd
+
+    df = spark.createDataFrame(pdf)
+    step = StepSpline(sel=all_of(["x1"]), n_knots=4, degree=2)
+    rec = Recipe(df, predictors=["x1"]).add_step(step)
+    rec.prep().count()
+
+    lo, hi = (
+        float(pdf["x1"].min()),
+        float(pdf["x1"].max()),
+    )
+    out_of_range = pd.DataFrame(
+        {"id": [0, 1, 2, 3], "x1": [-1e6, 1e6, lo, hi], "x2": [0.0] * 4}
+    )
+    got = rec.bake(spark.createDataFrame(out_of_range)).orderBy("id").toPandas()
+    n_basis = step.n_basis
+    _partition_of_unity_check(got, "Spline", n_basis)
+    # constant extrapolation: extreme inputs == the boundary basis vector
+    cols = [f"Spline_{i}" for i in range(1, n_basis + 1)]
+    np.testing.assert_array_equal(
+        got.loc[0, cols].to_numpy(float), got.loc[2, cols].to_numpy(float)
+    )
+    np.testing.assert_array_equal(
+        got.loc[1, cols].to_numpy(float), got.loc[3, cols].to_numpy(float)
+    )
