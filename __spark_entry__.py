@@ -531,6 +531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), block_cols=("lang",), threshold=0.8
     )
 
+    q["dedup_jaccard_ngram"] = lambda s, d: jaccard_pairs(
+        _t(s, d, "documents"), block_cols=("lang",), threshold=0.8, shingle=5
+    )
+
     # xxhash-based: no SQL mirror → rows-only check
     # bands=4 → r=8 rows/band: collision threshold (1/b)^(1/r) ≈ 0.84,
     # matched to the 0.8 verify threshold so candidates stay sparse
@@ -883,6 +887,26 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM ("
         "WITH t AS (SELECT doc_id, lang, "
         f"list_distinct({_toks}) AS toks FROM documents) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "len(list_intersect(a.toks, b.toks)) "
+        "/ CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) "
+        "AS jaccard "
+        "FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id"
+        ") WHERE jaccard >= 0.8"
+    )
+
+    # char 5-gram shingle mirror: normalized_text = trim(regexp_replace
+    # (lower(text), '\s+', ' ')), shingles = distinct substr windows
+    _norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    _shingles = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(length(nt) - 4, 1)), "
+        "i -> substr(nt, i, 5)))"
+    )
+    o["dedup_jaccard_ngram"] = (
+        "SELECT * FROM ("
+        f"WITH n AS (SELECT doc_id, lang, {_norm} AS nt FROM documents), "
+        f"t AS (SELECT doc_id, lang, {_shingles} AS toks FROM n) "
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "len(list_intersect(a.toks, b.toks)) "
         "/ CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) "

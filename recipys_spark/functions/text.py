@@ -32,6 +32,20 @@ def token_count(col) -> "F.Column":
     return F.size(tokens(col))
 
 
+def char_shingles(col, n: int = 5) -> "F.Column":
+    """Distinct character n-gram shingles of the whitespace-normalized
+    text — the classic near-dup unit (robust to word-boundary edits
+    where word tokens are brittle). Pure JVM: sequence + transform +
+    substring, no UDF."""
+    norm = normalized_text(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))),
+            lambda i: F.substring(norm, i, n),
+        )
+    )
+
+
 def punct_ratio(col) -> "F.Column":
     n = F.length(col)
     stripped = F.length(F.regexp_replace(col, PUNCT_RE, ""))

@@ -25,7 +25,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from recipys_spark.functions.text import fingerprint, simhash32, tokens
+from recipys_spark.functions.text import char_shingles, fingerprint, simhash32, tokens
 
 
 def exact_dedup(
@@ -40,11 +40,25 @@ def exact_dedup(
     )
 
 
-def _token_sets(df: DataFrame, text_col: str, id_col: str, extra: Sequence[str]):
+def _token_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    extra: Sequence[str],
+    shingle: "int | None" = None,
+):
+    """Comparison units: distinct word tokens, or distinct character
+    n-gram shingles when ``shingle`` is set (robust to word-boundary
+    edits; the classic near-dup unit)."""
+    unit = (
+        char_shingles(F.col(text_col), shingle)
+        if shingle
+        else F.array_distinct(tokens(F.col(text_col)))
+    )
     return df.select(
         F.col(id_col),
         *[F.col(c) for c in extra],
-        F.array_distinct(tokens(F.col(text_col))).alias("__toks"),
+        unit.alias("__toks"),
     )
 
 
@@ -54,13 +68,15 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     block_cols: Sequence[str] = ("lang",),
     threshold: float = 0.5,
+    shingle: "int | None" = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard over all pairs within a block.
+    """Exact token-set Jaccard over all pairs within a block; with
+    ``shingle=n`` the units are character n-grams instead of words.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b. Quadratic within
     blocks — use minhash_lsh_pairs when blocks are large."""
     block_cols = list(block_cols)
-    a = _token_sets(df, text_col, id_col, block_cols)
+    a = _token_sets(df, text_col, id_col, block_cols, shingle)
     b = a.select(
         F.col(id_col).alias("__idb"),
         *[F.col(c).alias(f"__b_{c}") for c in block_cols],
@@ -104,8 +120,11 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     link: str = "star",
+    shingle: "int | None" = None,
 ) -> DataFrame:
-    """MinHash + banded LSH near-duplicate pairs, Jaccard-verified.
+    """MinHash + banded LSH near-duplicate pairs, Jaccard-verified;
+    ``shingle=n`` switches the comparison unit from word tokens to
+    character n-grams.
 
     Signature of ``num_hashes`` minhashes split into ``bands`` bands of
     ``num_hashes/bands`` rows; docs sharing any band key become
@@ -127,9 +146,9 @@ def minhash_lsh_pairs(
     if link not in ("star", "all"):
         raise ValueError("link must be 'star' or 'all'")
     r = num_hashes // bands
-    docs = df.select(
-        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("__toks")
-    ).where(F.size("__toks") > 0)
+    docs = _token_sets(df, text_col, id_col, [], shingle).where(
+        F.size("__toks") > 0
+    )
     sig = docs.select(
         id_col, "__toks", minhash_signature(F.col("__toks"), num_hashes, seed).alias("__sig")
     )

@@ -250,3 +250,29 @@ def test_lsh_topk_multi_table_improves_recall(spark, embeddings):
     r4, a4 = recall(4)
     assert r4 >= r1, (r1, r4)
     assert a4.get(0) == 5 and a4.get(5) == 0
+
+
+def test_char_shingles_and_ngram_jaccard(spark):
+    """char_shingles emits distinct n-grams of the normalized text;
+    n-gram Jaccard catches word-boundary edits that word-token Jaccard
+    misses entirely."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from recipys_spark.functions.text import char_shingles
+    from recipys_spark.operators.dedup import jaccard_pairs
+
+    row = spark.range(1).select(
+        char_shingles(F.lit("ab  cd"), 3).alias("s")
+    ).first()
+    assert sorted(row.s) == sorted({"ab ", "b c", " cd"})
+
+    # same characters, different word segmentation
+    t1 = "the quick brownfox jumps over the lazy dog again and again"
+    t2 = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [t1, t2], "lang": "en"})
+    )
+    word = jaccard_pairs(docs, threshold=0.8).count()
+    ngram = jaccard_pairs(docs, threshold=0.8, shingle=5).count()
+    assert word == 0 and ngram == 1
