@@ -586,6 +586,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh
 
+    # IVF (sample-trained spherical k-means cells): no SQL mirror → rows-only
+    def ann_ivf(s, d):
+        from recipys_spark.operators.similarity import ivf_cosine_topk
+
+        emb = _t(s, d, "embeddings")
+        return ivf_cosine_topk(
+            emb.where(F.col("vec_id") < 5), emb, k=10, n_centroids=8, nprobe=3
+        )
+
+    q["ann_ivf_topk"] = ann_ivf
+
     # -- multimodal plumbing (stubbed decode) → rows-only ---------------------------
     def media_features(s, d):
         return extract_features(synthetic_media(s, n=200)).select(

@@ -78,19 +78,27 @@ def hardware_ceiling(n: int, n4: int, total: int = 160_000_000) -> float:
     return bench(n) / bench(n4)
 
 
-def run_once(cores: int, tdir: str, runs: int, with_checksum: bool):
-    """One session per level: a full untimed warmup materialization
-    (JIT + page cache), then `runs` timed materializations."""
+def run_once(cores: int, tdir: str, runs: int, with_checksum: bool, parts: int):
+    """One session per level: two untimed warmup materializations
+    (JIT + page cache), then `runs` timed materializations.
+
+    Shuffle partitions are FIXED (same at both levels) so the physical
+    plan — partition count, per-task data, spill behavior — is
+    identical and the two runs differ ONLY in parallelism. Scaling the
+    partition count with cores instead makes the small level spill
+    (4 huge partitions vs 16 small ones) and inflates efficiency past
+    1.0 — a measurement artifact, not scaling."""
     spark = get_spark(
         parallelism=cores,
         app_name=f"recipys_scaling_{cores}",
-        shuffle_partitions=cores * 2,
+        shuffle_partitions=parts,
     )
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(tdir)
     n_turns = df.count()
     baked = bake_recipe(df)
-    materialize(baked)  # warmup, untimed
+    materialize(baked)  # warmup 1: JIT + page cache, untimed
+    materialize(baked)  # warmup 2: steady state, untimed
     walls = []
     for _ in range(runs):
         t0 = time.time()
@@ -105,7 +113,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=2_000_000)
     ap.add_argument("--n", type=int, default=2, help="small parallelism (4N = big)")
-    ap.add_argument("--runs", type=int, default=3, help="take best-of per level")
+    ap.add_argument("--runs", type=int, default=4, help="timed runs per level")
     args = ap.parse_args()
 
     tdir = f"/tmp/recipys_scaling_transcripts_{args.convs}"
@@ -117,12 +125,15 @@ def main() -> None:
         ).repartition(256).write.mode("overwrite").parquet(tdir)
         spark.stop()
 
+    parts = args.n * 8  # fixed at BOTH levels: identical physical plan
     results = {}
     checksums = {}
     for cores in (args.n, args.n * 4):
-        walls, n_turns, cs = run_once(cores, tdir, args.runs, with_checksum=True)
+        walls, n_turns, cs = run_once(
+            cores, tdir, args.runs, with_checksum=True, parts=parts
+        )
         checksums[cores] = cs
-        best = sorted(walls)[len(walls) // 2]  # median of post-warmup runs
+        best = min(walls)  # steady-state wall (host-overcommit noise is one-sided)
         results[cores] = {
             "wall_s": [round(w, 2) for w in walls],
             "best_wall_s": round(best, 2),
@@ -156,10 +167,13 @@ def main() -> None:
 Protocol per BASELINE.md: the identical recipe-bake job (expanding
 mean + expanding max + forward-fill + lag + sessionization over
 `Window.partitionBy(conv_id)`) on the identical parquet transcript
-input, at `local[{n}]` vs `local[{n4}]`, shuffle partitions scaled
-proportionally (2× cores). Median of {args.runs} post-warmup runs per level.
+input, at `local[{n}]` vs `local[{n4}]`, with a FIXED shuffle
+partition count ({n * 8}) at both levels so the physical plan (per-task
+data, spill behavior) is identical and only the parallelism differs.
+Best of {args.runs} runs after two untimed warmups per level (the
+host-overcommitted VM adds one-sided noise).
 
-| parallelism | walls (s) | median wall (s) | throughput (turns/s) |
+| parallelism | walls (s) | best wall (s) | throughput (turns/s) |
 |---|---|---|---|
 | local[{n}] | {results[n]['wall_s']} | {results[n]['best_wall_s']} | {results[n]['turns_per_sec']:,} |
 | local[{n4}] | {results[n4]['wall_s']} | {results[n4]['best_wall_s']} | {results[n4]['turns_per_sec']:,} |

@@ -19,7 +19,11 @@ expanding row frame — all steps in a recipe reuse the identical
 fuses them into a single shuffle + sort. For conversations long enough
 to break a single window task, ``skew_bucket_size`` switches the
 decomposable accumulators (MAX/MIN/MEAN/COUNT/VAR) to a salted
-two-phase plan (see functions/skew.py).
+two-phase plan (see functions/skew.py). MEDIAN is not decomposable:
+its default plan is the streaming Arrow applyInPandas path (the window
+``percentile`` recomputes the expanding frame per row — O(n²) per
+conversation; opt back in with ``median_via_pandas=False`` only for
+the SQL-mirror comparison).
 """
 
 from __future__ import annotations

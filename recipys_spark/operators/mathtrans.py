@@ -301,6 +301,7 @@ class StepSpline(_FittedStep):
         knots: str = "uniform",
         prefix: str = "Spline",
         role: str = "predictor",
+        exact: bool = True,
     ) -> None:
         super().__init__(sel)
         if n_knots < 2:
@@ -314,6 +315,7 @@ class StepSpline(_FittedStep):
         self.knots = knots
         self.prefix = prefix
         self.role = role
+        self.exact = exact  # quantile knots: exact vs sketch percentiles
         self.desc = f"B-spline basis (degree {degree}, {n_knots} knots)"
 
     @property
@@ -339,10 +341,10 @@ class StepSpline(_FittedStep):
                 for c in self.columns
             }
         else:
+            from recipys_spark.operators.scale import percentile_agg
+
             aggs = [
-                F.expr(
-                    f"percentile({c}, array({','.join(str(f) for f in fracs)}))"
-                ).alias(c)
+                percentile_agg(F.col(c), fracs, self.exact).alias(c)
                 for c in self.columns
             ]
             row = df.agg(*aggs).first().asDict()

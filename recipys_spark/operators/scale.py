@@ -27,6 +27,21 @@ from recipys_spark.operators.base import Step
 from recipys_spark.selector import Selector, all_numeric_predictors
 
 
+def percentile_agg(col, probs, exact: bool = True, accuracy: int = 10_000):
+    """Percentile aggregation expression for fitted state.
+
+    exact ``F.percentile`` buffers every value of the aggregation group
+    in executor memory — correct and oracle-matching, but an OOM at
+    10^11+ rows. ``exact=False`` switches to ``percentile_approx``
+    (t-digest style sketch, bounded memory, rank error ~1/accuracy) —
+    the 100-TB fit path; the fitted parameters shift within the sketch
+    error, the transform stays the same pure expression."""
+    arr = F.array(*[F.lit(p) for p in probs])
+    if exact:
+        return F.percentile(col, arr)
+    return F.percentile_approx(col, arr, F.lit(accuracy))
+
+
 class _FittedStep(Step):
     """Base for steps whose state is a dict[col, dict[param, value]]."""
 
@@ -146,11 +161,17 @@ class StepMaxAbsScale(_FittedStep):
 
 
 class StepRobustScale(_FittedStep):
-    """(c - median) / IQR, sklearn RobustScaler defaults (q 25/75)."""
+    """(c - median) / IQR, sklearn RobustScaler defaults (q 25/75).
+    ``exact=False`` fits on approximate percentiles (bounded memory at
+    10^11+ rows; see percentile_agg)."""
+
+    def __init__(self, sel: Optional[Selector] = None, exact: bool = True) -> None:
+        super().__init__(sel)
+        self.exact = exact
 
     def do_fit(self, ingredients: Ingredients) -> None:
         aggs = [
-            F.percentile(F.col(c), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(c)
+            percentile_agg(F.col(c), [0.25, 0.5, 0.75], self.exact).alias(c)
             for c in self.columns
         ]
         row = ingredients.df.agg(*aggs).first().asDict()
@@ -234,13 +255,16 @@ class StepKBinsDiscretize(_FittedStep):
 
     strategy='uniform': equal-width bins from fitted min/max;
     strategy='quantile': bin edges at fitted quantiles (exact
-    ``percentile`` — matches numpy linear interpolation)."""
+    ``percentile`` by default — matches numpy linear interpolation;
+    ``exact=False`` fits on approximate percentiles for 10^11+-row
+    tables, see percentile_agg)."""
 
     def __init__(
         self,
         sel: Optional[Selector] = None,
         n_bins: int = 5,
         strategy: str = "uniform",
+        exact: bool = True,
     ) -> None:
         super().__init__(sel)
         if strategy not in ("uniform", "quantile"):
@@ -249,6 +273,7 @@ class StepKBinsDiscretize(_FittedStep):
             raise ValueError("n_bins must be >= 2")
         self.n_bins = n_bins
         self.strategy = strategy
+        self.exact = exact
         self.desc = f"KBins({n_bins}, {strategy})"
 
     def do_fit(self, ingredients: Ingredients) -> None:
@@ -268,9 +293,7 @@ class StepKBinsDiscretize(_FittedStep):
         else:
             probs = [i / self.n_bins for i in range(self.n_bins + 1)]
             aggs = [
-                F.percentile(
-                    F.col(c), F.array(*[F.lit(p) for p in probs])
-                ).alias(c)
+                percentile_agg(F.col(c), probs, self.exact).alias(c)
                 for c in self.columns
             ]
             row = df.agg(*aggs).first().asDict()
@@ -296,9 +319,15 @@ class StepQuantileTransform(_FittedStep):
     Transform: piecewise-linear interpolation between grid points,
     expressed as a CASE chain (grid is small, stays JVM-side)."""
 
-    def __init__(self, sel: Optional[Selector] = None, n_quantiles: int = 100) -> None:
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        n_quantiles: int = 100,
+        exact: bool = True,
+    ) -> None:
         super().__init__(sel)
         self.n_quantiles = n_quantiles
+        self.exact = exact
         self.desc = f"QuantileTransform({n_quantiles})"
 
     def do_fit(self, ingredients: Ingredients) -> None:
@@ -306,7 +335,7 @@ class StepQuantileTransform(_FittedStep):
         k = min(self.n_quantiles, max(2, n))
         probs = [i / (k - 1) for i in range(k)]
         aggs = [
-            F.percentile(F.col(c), F.array(*[F.lit(p) for p in probs])).alias(c)
+            percentile_agg(F.col(c), probs, self.exact).alias(c)
             for c in self.columns
         ]
         row = ingredients.df.agg(*aggs).first().asDict()

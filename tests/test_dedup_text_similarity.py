@@ -276,3 +276,26 @@ def test_char_shingles_and_ngram_jaccard(spark):
     word = jaccard_pairs(docs, threshold=0.8).count()
     ngram = jaccard_pairs(docs, threshold=0.8, shingle=5).count()
     assert word == 0 and ngram == 1
+
+
+def test_ivf_topk_recall_and_determinism(spark, embeddings):
+    """IVF ANN: decent recall vs brute on the tiny fixture, engineered
+    pair found, and centroid training is partitioning-invariant."""
+    from recipys_spark.operators.similarity import (
+        ivf_cosine_topk,
+        train_ivf_centroids,
+    )
+
+    brute = cosine_topk(embeddings, embeddings, k=1).toPandas()
+    b = dict(zip(brute.query_id, brute.neighbor_id))
+    approx = ivf_cosine_topk(
+        embeddings, embeddings, k=1, n_centroids=4, nprobe=2
+    ).toPandas()
+    a = dict(zip(approx.query_id, approx.neighbor_id))
+    hits = sum(1 for q in b if a.get(q) == b[q])
+    assert hits / len(b) >= 0.5
+    assert a.get(0) == 5 and a.get(5) == 0
+
+    c1 = train_ivf_centroids(embeddings, n_centroids=4)
+    c2 = train_ivf_centroids(embeddings.repartition(7), n_centroids=4)
+    assert c1 == c2
