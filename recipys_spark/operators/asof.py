@@ -25,6 +25,8 @@ Two physical strategies:
   window for the latest right row within (key, bucket), per-bucket
   edge-donor table forward-filled across buckets (tiny), join-back and
   coalesce. Exactly equal to ``union``; use when one key dominates.
+  Measured (BENCH.md): parity at a 2M-row hot key, 40x faster at 16M
+  (union 400s -> salted 10s, local[32]).
 """
 
 from __future__ import annotations

@@ -104,3 +104,61 @@ def test_streaming_running_features_matches_batch(spark, transcript_dir):
     np.testing.assert_array_equal(
         out.value_count.to_numpy(), oracle.value_count.to_numpy()
     )
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Append mode + watermark: a session is finalized once the
+    watermark passes (emitted exactly once), and an event arriving
+    LATER than the watermark allows is dropped — it must neither
+    reopen the session nor appear as a new one."""
+    import datetime
+    import time as _time
+
+    import pandas as pd
+
+    d = str(tmp_path / "late")
+    schema = "conv_id string, turn_idx int, ts timestamp"
+
+    def ts(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    # batch 1: a 3-turn session 9:00-9:10, then a clock event at 13:00
+    # that advances the watermark far past the session's close.
+    # batch 2: another clock tick — Spark commits the watermark
+    # computed from batch N at batch N+1 and FILTERS with it from batch
+    # N+2, so the late row needs one batch in between to be dropped.
+    # batch 3: a late c1 event at 9:20 — within the session gap, but
+    # hours behind the committed 12:30 watermark.
+    batches = [
+        pd.DataFrame(
+            {
+                "conv_id": ["c1", "c1", "c1", "clock"],
+                "turn_idx": [0, 1, 2, 0],
+                "ts": [ts(9), ts(9, 5), ts(9, 10), ts(13)],
+            }
+        ),
+        pd.DataFrame({"conv_id": ["clock"], "turn_idx": [1], "ts": [ts(13, 30)]}),
+        pd.DataFrame({"conv_id": ["c1"], "turn_idx": [3], "ts": [ts(9, 20)]}),
+    ]
+    for f in batches:
+        spark.createDataFrame(f, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        _time.sleep(1.2)  # file-source orders micro-batches by mtime
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = _run_stream(
+        spark,
+        streaming_session_stats(stream, gap="30 minutes", watermark="30 minutes"),
+        "late_sess",
+        "append",
+    ).toPandas()
+
+    c1 = out[out.conv_id == "c1"]
+    # exactly one finalized c1 session, with the ON-TIME turn count
+    assert len(c1) == 1, out
+    assert int(c1.n_turns.iloc[0]) == 3, out
