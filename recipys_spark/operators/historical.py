@@ -190,25 +190,33 @@ class StepHistorical(Step):
         """Exact expanding median via Arrow-batched applyInPandas
         (SURVEY.md §7 hard parts): the window ``percentile`` recomputes
         the frame per row (quadratic for long conversations); pandas
-        expanding().median() streams it. One shuffle on the group key;
-        no per-row Python (whole conversations arrive as one pandas
-        frame)."""
+        expanding().median() streams it.
+
+        Only (groups, sequence, selected columns) ride the Arrow
+        round-trip — shipping the full row (e.g. the transcript `text`
+        column) through Python would multiply the shuffle+serialize
+        volume by the table width for no reason; the medians join back
+        on (groups, sequence), which the engine already requires to be
+        a unique, deterministic ordering key (SURVEY.md §7)."""
         from pyspark.sql import types as T
 
         cols, suffix = list(self.columns), self.suffix
         seq_cols = list(seq)
+        key_cols = list(groups) + seq_cols
+        narrow = df.select(*key_cols, *[c for c in cols if c not in key_cols])
         out_schema = T.StructType(
-            list(df.schema.fields)
+            [narrow.schema[c] for c in key_cols]
             + [T.StructField(f"{c}_{suffix}", T.DoubleType()) for c in cols]
         )
 
         def per_group(pdf):
             pdf = pdf.sort_values(seq_cols)
+            res = pdf[key_cols].copy()
             for c in cols:
-                pdf[f"{c}_{suffix}"] = pdf[c].expanding().median()
-            return pdf
+                res[f"{c}_{suffix}"] = pdf[c].expanding().median()
+            return res
 
-        out = df.groupBy(*groups).applyInPandas(per_group, schema=out_schema)
+        meds = narrow.groupBy(*groups).applyInPandas(per_group, schema=out_schema)
         # pandas emits NaN (not NULL) when the expanding window holds no
         # non-null values; the window-percentile path and SQL oracles
         # emit NULL — normalize so both paths are value-identical.
@@ -218,5 +226,5 @@ class StepHistorical(Step):
             )
             for c in cols
         ]
-        keep = [F.col(c) for c in df.columns]
-        return out.select(*keep, *fixed)
+        meds = meds.select(*key_cols, *fixed)
+        return df.join(meds, on=key_cols, how="inner")
