@@ -113,3 +113,24 @@ def test_asof_union_strategy_single_window_pass(spark, transcripts):
     assert len(re.findall(r"\bWindow\b", plan)) == 1, plan
     # no join at all in the union strategy
     assert "Join" not in plan, plan
+
+
+def test_stateless_math_steps_no_exchange(spark):
+    """Polynomial and spline transforms are pure projections: the plan
+    must contain no Exchange (shuffle) and no Window."""
+    import pandas as pd
+
+    from recipys_spark.operators import StepPolynomialFeatures, StepSpline
+    from recipys_spark.selector import all_of
+
+    pdf = pd.DataFrame({"id": range(100), "x": [float(i % 17) for i in range(100)]})
+    df = spark.createDataFrame(pdf)
+    rec = (
+        Recipe(df, predictors=["x"])
+        .add_step(StepPolynomialFeatures(sel=all_of(["x"]), degree=3))
+        .add_step(StepSpline(sel=all_of(["x"]), n_knots=4, degree=2))
+    )
+    out = rec.prep()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
