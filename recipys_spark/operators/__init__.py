@@ -26,6 +26,8 @@ from recipys_spark.operators.scale import (
     StepScale,
 )
 from recipys_spark.operators.encode import (
+    StepLabelBinarize,
+    StepLabelEncode,
     StepMissingIndicator,
     StepOneHotEncode,
     StepOrdinalEncode,
@@ -50,6 +52,8 @@ __all__ = [
     "StepImputeFill",
     "StepImputeModel",
     "StepKBinsDiscretize",
+    "StepLabelBinarize",
+    "StepLabelEncode",
     "StepLag",
     "StepLog1p",
     "StepLead",

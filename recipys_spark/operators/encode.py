@@ -195,3 +195,87 @@ class StepMissingIndicator(Step):
             for c in self.columns
         ]
         return df.select("*", *inds)
+
+
+class StepLabelEncode(StepOrdinalEncode):
+    """sklearn LabelEncoder analog: ordinal-encode the OUTCOME role
+    (classes sorted lexicographically, 0-indexed). Same math as
+    StepOrdinalEncode; named step for reference API parity (the
+    reference reaches it via StepSklearn(LabelEncoder(), columnwise=
+    True, role='outcome') — reference tests/test_steps.py:387–395)."""
+
+    def __init__(
+        self, sel: Optional[Selector] = None, max_categories: int = 10_000
+    ) -> None:
+        from recipys_spark.selector import all_outcomes
+
+        super().__init__(
+            sel if sel is not None else all_outcomes(), max_categories=max_categories
+        )
+        self.desc = "Label-encode outcomes"
+
+
+class StepLabelBinarize(Step):
+    """sklearn LabelBinarizer analog on the OUTCOME role, including its
+    binary quirk: with exactly TWO classes it emits ONE 0/1 column (the
+    indicator of the second sorted class), not two — matching
+    sklearn's LabelBinarizer (reference tests/test_steps.py:397–404).
+    Multiclass emits one column per class, ``{prefix}_{i}`` 1-indexed."""
+
+    _uses_groups = False
+    _uses_sequence = False
+
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        prefix: str = "LabelBinarizer",
+        role: str = "outcome",
+        max_categories: int = 1_000,
+    ) -> None:
+        from recipys_spark.selector import all_outcomes
+
+        super().__init__(sel if sel is not None else all_outcomes())
+        self.prefix = prefix
+        self.role = role
+        self.max_categories = max_categories
+        self.categories: dict[str, list] = {}
+        self.desc = "Label-binarize outcomes"
+
+    def do_fit(self, ingredients: Ingredients) -> None:
+        self.categories = _fit_categories(
+            ingredients.df, self.columns, self.max_categories, "StepLabelBinarize"
+        )
+
+    def _out_names(self) -> list[tuple[str, object, str]]:
+        out = []
+        i = 1
+        for c in self.columns:
+            cats = self.categories[c]
+            if len(cats) == 2:
+                # sklearn binary quirk: single indicator of the 2nd class
+                out.append((c, cats[1], f"{self.prefix}_{i}"))
+                i += 1
+            else:
+                for cat in cats:
+                    out.append((c, cat, f"{self.prefix}_{i}"))
+                    i += 1
+        return out
+
+    def new_column_roles(self) -> dict[str, str]:
+        return {name: self.role for _, _, name in self._out_names()}
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        cols = [
+            (F.col(c) == F.lit(cat)).cast("int").alias(name)
+            for c, cat, name in self._out_names()
+        ]
+        return df.select("*", *cols)
+
+    def get_state(self) -> dict:
+        return {"columns": self.columns, "categories": self.categories}
+
+    def set_state(self, state: dict) -> None:
+        self.columns = state["columns"]
+        self.categories = state["categories"]
+        self._trained = True

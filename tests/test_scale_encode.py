@@ -281,3 +281,48 @@ def test_save_state_typed_categories_roundtrip(spark, tmp_path):
     after = collect_sorted(rec2.bake(df), keys=("id",))
     assert not after["day"].isna().any()
     np.testing.assert_array_equal(before["day"].to_numpy(), after["day"].to_numpy())
+
+
+def test_label_encode_outcome_role(spark):
+    """StepLabelEncode defaults to the outcome role; classes sorted
+    lexicographically, 0-indexed (sklearn LabelEncoder)."""
+    import pandas as pd
+
+    from recipys_spark.operators import StepLabelEncode
+
+    pdf = pd.DataFrame(
+        {"id": range(6), "y": ["b", "a", "c", "a", "b", "c"], "x1": 1.0}
+    )
+    rec = Recipe(spark.createDataFrame(pdf), outcomes="y", predictors=["x1"])
+    rec.add_step(StepLabelEncode())
+    got = collect_sorted(rec.prep(), keys=("id",))
+    assert list(got["y"]) == [1.0, 0.0, 2.0, 0.0, 1.0, 2.0]
+    # predictor column untouched
+    assert (got["x1"] == 1.0).all()
+
+
+def test_label_binarize_binary_quirk(spark):
+    """Two classes → ONE indicator column (sklearn LabelBinarizer
+    binary quirk); three classes → one column per class."""
+    import pandas as pd
+
+    from recipys_spark.operators import StepLabelBinarize
+
+    two = pd.DataFrame({"id": range(4), "y": ["no", "yes", "no", "yes"]})
+    rec = Recipe(spark.createDataFrame(two), outcomes="y").add_step(
+        StepLabelBinarize()
+    )
+    got = collect_sorted(rec.prep(), keys=("id",))
+    assert "LabelBinarizer_1" in got.columns
+    assert "LabelBinarizer_2" not in got.columns
+    assert list(got["LabelBinarizer_1"]) == [0, 1, 0, 1]  # indicator of 'yes'
+
+    three = pd.DataFrame({"id": range(3), "y": ["a", "b", "c"]})
+    rec3 = Recipe(spark.createDataFrame(three), outcomes="y").add_step(
+        StepLabelBinarize()
+    )
+    got3 = collect_sorted(rec3.prep(), keys=("id",))
+    assert {"LabelBinarizer_1", "LabelBinarizer_2", "LabelBinarizer_3"} <= set(
+        got3.columns
+    )
+    assert list(got3["LabelBinarizer_2"]) == [0, 1, 0]
