@@ -605,6 +605,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_features"] = media_features
 
+    # REAL decode tier (pure-numpy Netpbm parse in mapInPandas) → rows-only
+    def media_real_decode(s, d):
+        from recipys_spark.operators.multimodal import (
+            extract_features,
+            netpbm_decoder,
+            synthetic_images,
+        )
+
+        return extract_features(
+            synthetic_images(s, n=200, size=16), decoder=netpbm_decoder
+        ).select(
+            "media_id", F.round(F.element_at("features", 1), 6).alias("f0")
+        )
+
+    q["multimodal_real_decode"] = media_real_decode
+
     return q
 
 

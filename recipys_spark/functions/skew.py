@@ -445,3 +445,58 @@ def salted_lag(
             for k in lags
         ],
     )
+
+
+def salted_trailing(
+    df: DataFrame,
+    cols: Sequence[str],
+    groups: Sequence[str],
+    sequence: str,
+    fun: Accumulator,
+    window: int,
+    suffix: str,
+    bucket_size: int,
+    rows_per_bucket: int = 100_000,
+) -> DataFrame:
+    """Skew-proof bounded trailing window (StepRolling's escape hatch).
+
+    Unlike the expanding case, a trailing frame of ``window`` rows only
+    ever needs the previous ``window-1`` rows — so instead of a
+    prefix-merge, each ROW-exact bucket gets a copy of its predecessor
+    bucket's last ``window-1`` rows ("carry" rows), the plain bounded
+    window runs within (group, bucket), and carry rows are dropped.
+    Row-exact buckets come from the decomposable row number
+    (salted_row_number), so every bucket except the last has exactly
+    ``rows_per_bucket`` rows and one carry hop always suffices.
+    Exactly equal to the single-window rolling result; works for ALL
+    accumulators (bounded frames keep MEDIAN at O(window) per row)."""
+    from recipys_spark.operators.historical import rolling_expr
+
+    if rows_per_bucket < window:
+        raise ValueError("rows_per_bucket must be >= window")
+    groups = list(groups)
+    base_cols = list(df.columns)
+    with_rid = salted_row_number(df, groups, sequence, bucket_size)
+    rbkt = ((F.col("__rid") - 1) / F.lit(rows_per_bucket)).cast("long")
+    pos = (F.col("__rid") - 1) % F.lit(rows_per_bucket)
+    tagged = with_rid.withColumn("__rbkt", rbkt).withColumn("__pos", pos)
+    own = tagged.withColumn("__carry", F.lit(0))
+    carry = (
+        tagged.where(F.col("__pos") >= F.lit(rows_per_bucket - (window - 1)))
+        .withColumn("__rbkt", F.col("__rbkt") + 1)
+        .withColumn("__carry", F.lit(1))
+    )
+    unioned = own.unionByName(carry)
+    w = (
+        Window.partitionBy(*groups, "__rbkt")
+        .orderBy("__rid")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    exprs = [
+        rolling_expr(c, fun, w).alias(f"{c}_{suffix}") for c in cols
+    ]
+    return (
+        unioned.select("*", *exprs)
+        .where(F.col("__carry") == 0)
+        .select(*base_cols, *[F.col(f"{c}_{suffix}") for c in cols])
+    )

@@ -82,6 +82,8 @@ class StepRolling(Step):
         window: int = 3,
         suffix: Optional[str] = None,
         role: str = "predictor",
+        skew_bucket_size: Optional[int] = None,
+        skew_rows_per_bucket: int = 100_000,
     ) -> None:
         super().__init__(sel if sel is not None else all_numeric_predictors())
         if not isinstance(fun, Accumulator):
@@ -94,6 +96,8 @@ class StepRolling(Step):
         self.window = window
         self.suffix = suffix if suffix is not None else f"roll{window}_{fun.value}"
         self.role = role
+        self.skew_bucket_size = skew_bucket_size
+        self.skew_rows_per_bucket = skew_rows_per_bucket
         self.desc = f"Rolling {fun} over {window} rows"
 
     def new_column_roles(self) -> dict[str, str]:
@@ -104,6 +108,20 @@ class StepRolling(Step):
 
         if not self.sequence_columns:
             raise ValueError("StepRolling requires a sequence role column")
+        if self.skew_bucket_size is not None:
+            from recipys_spark.functions.skew import salted_trailing
+
+            return salted_trailing(
+                ingredients.df,
+                cols=self.columns,
+                groups=self.group_columns,
+                sequence=self.sequence_columns[0],
+                fun=self.fun,
+                window=self.window,
+                suffix=self.suffix,
+                bucket_size=self.skew_bucket_size,
+                rows_per_bucket=self.skew_rows_per_bucket,
+            )
         frame = trailing(self.group_columns, self.sequence_columns, self.window - 1)
         exprs = [
             rolling_expr(c, self.fun, frame).alias(f"{c}_{self.suffix}")

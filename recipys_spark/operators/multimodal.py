@@ -5,11 +5,17 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` UDFs so each Python worker sees whole
 record batches, never rows.
 
-The decode step itself is STUBBED: the image/audio codecs are not in
-this container. ``deterministic_fake_decoder`` produces seeded fake
-features from the payload hash so the Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — is real and tested;
-``codec_decoder`` raises NotImplementedError until a codec is wired in.
+Decode tiers:
+- **real**: uncompressed Netpbm images (P6 PPM / P5 PGM) are parsed in
+  pure numpy (``decode_netpbm``) — no codec library needed — with
+  nearest-neighbor resize and a 16-dim feature extractor on top;
+  ``synthetic_images`` generates genuine PPM payloads to drive it.
+- **stubbed**: compressed formats (JPEG/PNG/audio/video). The codecs
+  are not in this container; ``codec_decoder`` raises
+  NotImplementedError with the wiring instructions, and
+  ``deterministic_fake_decoder`` produces seeded features from the
+  payload hash so the plumbing — schema, partitioning, UDF signature,
+  batch shape — stays real and tested for those kinds too.
 """
 
 from __future__ import annotations
@@ -123,3 +129,126 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.explode(frames).alias("frame_ms"),
         )
     )
+
+
+# -- real decode tier: Netpbm (uncompressed) ------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 HxWx3 array → binary P6 PPM bytes (HxW → P5 PGM)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w = img.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes()
+    if img.ndim == 3 and img.shape[2] == 3:
+        h, w, _ = img.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+    raise ValueError(f"expected HxW or HxWx3 uint8, got shape {img.shape}")
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """Parse binary P6 PPM (→ HxWx3) or P5 PGM (→ HxW) in pure numpy.
+
+    Netpbm is uncompressed, so this is a REAL decoder with no codec
+    dependency: header tokens (magic, width, height, maxval, with
+    ``#`` comments allowed) followed by raw samples."""
+    if not payload or payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    magic = payload[:2]
+    pos = 2
+    tokens = []
+    while len(tokens) < 3:
+        # skip whitespace and comments
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit Netpbm not supported")
+    ch = 3 if magic == b"P6" else 1
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return data.reshape((h, w, 3)) if ch == 3 else data.reshape((h, w))
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure indexing — deterministic)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(height) * h // height).clip(0, h - 1)
+    cols = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM floats from a decoded image: per-channel mean+std
+    (6), an 8-bin grayscale histogram (8), aspect ratio, and mean
+    gradient energy — all in [0, 1]-ish ranges, fully deterministic."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    x = img.astype(np.float32) / 255.0
+    gray = x.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 1.0))
+    hist = hist.astype(np.float32) / max(gray.size, 1)
+    grad = np.abs(np.diff(gray, axis=0)).mean() if gray.shape[0] > 1 else 0.0
+    feats = np.concatenate(
+        [
+            x.mean(axis=(0, 1)),
+            x.std(axis=(0, 1)),
+            hist,
+            np.array(
+                [img.shape[1] / max(img.shape[0], 1), grad], dtype=np.float32
+            ),
+        ]
+    ).astype(np.float32)
+    assert feats.shape[0] == FEATURE_DIM, feats.shape
+    return feats
+
+
+def netpbm_decoder(payload: bytes, resize_to: "tuple[int, int] | None" = (8, 8)):
+    """Real decode → optional resize → features (the image analog of
+    deterministic_fake_decoder, same signature/shape)."""
+    img = decode_netpbm(payload)
+    if resize_to is not None:
+        img = resize_nearest(img, *resize_to)
+    return image_features(img)
+
+
+def synthetic_images(spark: SparkSession, n: int = 100, size: int = 16) -> DataFrame:
+    """MEDIA_SCHEMA table whose payloads are REAL P6 PPM bytes: a
+    deterministic per-id gradient + stripe pattern (no RNG — stable at
+    any parallelism), generated executor-side via mapInPandas."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                yy, xx = np.mgrid[0:size, 0:size]
+                r = (xx * 255 // max(size - 1, 1)).astype(np.uint8)
+                g = (yy * 255 // max(size - 1, 1)).astype(np.uint8)
+                b = (((xx + yy + int(mid)) % 8) * 32).astype(np.uint8)
+                rows.append(encode_ppm(np.stack([r, g, b], axis=-1)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["id"],
+                    "kind": "image",
+                    "payload": rows,
+                    "meta": [
+                        {
+                            "mime": "image/x-portable-pixmap",
+                            "width": size,
+                            "height": size,
+                            "duration_ms": 0,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -299,3 +299,35 @@ def test_ivf_topk_recall_and_determinism(spark, embeddings):
     c1 = train_ivf_centroids(embeddings, n_centroids=4)
     c2 = train_ivf_centroids(embeddings.repartition(7), n_centroids=4)
     assert c1 == c2
+
+
+def test_multimodal_real_netpbm_decode(spark):
+    """REAL decode tier: PPM payloads generated executor-side, decoded
+    with the pure-numpy Netpbm parser inside mapInPandas, features
+    deterministic across partitioning."""
+    import numpy as np
+
+    from recipys_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        netpbm_decoder,
+        synthetic_images,
+    )
+
+    imgs = synthetic_images(spark, n=30, size=16)
+    out = extract_features(imgs, decoder=netpbm_decoder).orderBy("media_id").toPandas()
+    assert len(out) == 30
+    mat = np.stack(out.features.map(np.array))
+    assert mat.shape == (30, FEATURE_DIM)
+    # the generator's R channel is a 0..255 x-gradient: mean ~ 0.5
+    np.testing.assert_allclose(mat[:, 0], 0.5, atol=0.05)
+    # aspect ratio of the square images == 1
+    np.testing.assert_allclose(mat[:, 14], 1.0, atol=1e-6)
+
+    out2 = (
+        extract_features(synthetic_images(spark, n=30, size=16).repartition(7),
+                         decoder=netpbm_decoder)
+        .orderBy("media_id")
+        .toPandas()
+    )
+    np.testing.assert_array_equal(mat, np.stack(out2.features.map(np.array)))

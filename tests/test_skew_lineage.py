@@ -314,3 +314,31 @@ def test_salted_row_number(spark, transcripts):
         .to_numpy()
     )
     np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.parametrize(
+    "fun",
+    [Accumulator.MEAN, Accumulator.MAX, Accumulator.MEDIAN],
+)
+def test_salted_rolling_equals_plain(spark, transcripts, fun):
+    """Bounded trailing windows: row-exact buckets + carry rows ==
+    plain rolling window (incl. MEDIAN — bounded frames keep it
+    O(window) per row, so it salts too). Small rows_per_bucket via a
+    tiny skew_bucket_size exercises several carry hops."""
+    from recipys_spark.operators import StepRolling
+
+    def run(**kw):
+        return (
+            _recipe(transcripts)
+            .add_step(StepRolling(sel=all_of(["value"]), fun=fun, window=4, **kw))
+            .prep()
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+
+    col = f"value_roll4_{fun.value}"
+    plain = run()
+    salted = run(skew_bucket_size=16, skew_rows_per_bucket=8)
+    np.testing.assert_array_equal(
+        salted[col].to_numpy(dtype=float), plain[col].to_numpy(dtype=float)
+    )
