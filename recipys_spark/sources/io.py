@@ -221,3 +221,25 @@ def synthetic_transcripts(
             "*", F.length("text").alias("n_chars"), value.alias("value")
         )
     return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: "list[str] | str",
+    n_buckets: int = 64,
+    sort_cols: "list[str] | None" = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by key.
+
+    Two tables bucketed the same way join WITHOUT an Exchange — the
+    co-located join path for repeated big-table joins (e.g. transcripts
+    ⋈ per-conversation features): pay the shuffle once at write time,
+    never again at read time. Bucket pruning also serves point lookups.
+    Requires a catalog-backed table (saveAsTable), not a bare path."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.mode(mode).bucketBy(n_buckets, *cols)
+    if sort_cols:
+        w = w.sortBy(*([sort_cols] if isinstance(sort_cols, str) else list(sort_cols)))
+    w.format("parquet").saveAsTable(table)
