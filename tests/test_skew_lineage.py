@@ -342,3 +342,37 @@ def test_salted_rolling_equals_plain(spark, transcripts, fun):
     np.testing.assert_array_equal(
         salted[col].to_numpy(dtype=float), plain[col].to_numpy(dtype=float)
     )
+
+
+def test_incremental_bake_equals_full(spark):
+    """incremental_bake over the groups new rows touch == a full
+    re-bake, bit for bit."""
+    from recipys_spark.plans.incremental import incremental_bake
+
+    base = synthetic_transcripts(spark, n_convs=25, skew=False, with_features=True)
+    old_input = base.where("conv_id >= 'c000005' OR turn_idx < 3")
+    new_rows = base.where("conv_id < 'c000005' AND turn_idx >= 3")
+
+    def build():
+        return (
+            _recipe(base)
+            .add_step(StepHistorical(sel=all_of(["value"]), fun=Accumulator.MEAN))
+            .add_step(StepImputeFill(sel=all_of(["value"]), strategy="forward"))
+        )
+
+    rec = build()
+    rec.prep().count()  # fit (state frozen from the full data)
+    previous = rec.bake(old_input)
+
+    inc = (
+        incremental_bake(rec, base, new_rows, previous, groups="conv_id")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    full = rec.bake(base).orderBy("conv_id", "turn_idx").toPandas()
+    assert len(inc) == len(full)
+    np.testing.assert_array_equal(
+        inc["value_mean"].to_numpy(dtype=float),
+        full["value_mean"].to_numpy(dtype=float),
+    )
+    np.testing.assert_array_equal(inc["value"].to_numpy(), full["value"].to_numpy())
