@@ -79,9 +79,17 @@ def _running_features(key, batches: Iterator[pd.DataFrame], state: GroupState):
     """Expanding mean/max/count carried across micro-batches in
     GroupState — fully vectorized pandas (no per-row Python, per the
     input_hint mandate): prior-state (sum, count, max) combines with
-    in-batch cumulative aggregates."""
+    in-batch cumulative aggregates.
+
+    With an idle timeout configured, a conversation whose state times
+    out is evicted (bounded state at billions of conversations); its
+    accumulators restart from zero if it ever reappears — the
+    documented trade for unbounded-keyspace streams."""
     import numpy as np
 
+    if state.hasTimedOut:
+        state.remove()
+        return
     if state.exists:
         s0, c0, m0 = state.get
     else:
@@ -111,15 +119,34 @@ def _running_features(key, batches: Iterator[pd.DataFrame], state: GroupState):
             if pd.notna(batch_max):
                 m0 = float(batch_max) if m0 is None else max(m0, float(batch_max))
     state.update((s0, c0, m0))
+    try:
+        state.setTimeoutDuration(_IDLE_TIMEOUT_MS)
+    except Exception:
+        pass  # NoTimeout mode: setting a duration is invalid
 
 
-def streaming_running_features(stream: DataFrame) -> DataFrame:
+_IDLE_TIMEOUT_MS = 6 * 3600 * 1000  # eviction after 6 h idle (when enabled)
+
+
+def streaming_running_features(
+    stream: DataFrame, idle_timeout: bool = False
+) -> DataFrame:
     """Streaming expanding accumulators per conv_id (schema: conv_id,
-    turn_idx, value)."""
+    turn_idx, value).
+
+    ``idle_timeout=True`` enables processing-time state eviction
+    (_IDLE_TIMEOUT_MS): without it, one GroupState row lives per
+    conversation FOREVER — unbounded at billions of conversations;
+    with it, state is bounded by the live-conversation working set."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout
+        else GroupStateTimeout.NoTimeout
+    )
     return stream.groupBy("conv_id").applyInPandasWithState(
         _running_features,
         outputStructType=_RUNNING_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

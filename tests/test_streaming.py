@@ -162,3 +162,34 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     # exactly one finalized c1 session, with the ON-TIME turn count
     assert len(c1) == 1, out
     assert int(c1.n_turns.iloc[0]) == 3, out
+
+
+def test_streaming_running_features_with_idle_timeout(spark, transcript_dir):
+    """The bounded-state mode (processing-time idle eviction) produces
+    the same results for conversations active within the window."""
+    batch = spark.read.parquet(transcript_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(transcript_dir)
+    out = _run_stream(
+        spark,
+        streaming_running_features(
+            stream.select("conv_id", "turn_idx", "value"), idle_timeout=True
+        ),
+        "running_feats_ttl",
+        "append",
+    ).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    rec = Recipe(
+        batch, predictors=["value"], groups="conv_id", sequences="turn_idx"
+    ).add_step(StepHistorical(sel=all_of(["value"]), fun=Accumulator.MEAN))
+    oracle = (
+        rec.prep()
+        .select("conv_id", "turn_idx", "value_mean")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        out["value_mean"].to_numpy(dtype=float),
+        oracle["value_mean"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
