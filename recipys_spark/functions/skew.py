@@ -487,6 +487,15 @@ def salted_trailing(
         .withColumn("__carry", F.lit(1))
     )
     unioned = own.unionByName(carry)
+    if fun in (Accumulator.MEAN, Accumulator.VAR):
+        from recipys_spark.operators.historical import rolling_sum_diff
+
+        out = rolling_sum_diff(
+            unioned, cols, fun, window, [*groups, "__rbkt"], ["__rid"], suffix
+        )
+        return out.where(F.col("__carry") == 0).select(
+            *base_cols, *[F.col(f"{c}_{suffix}") for c in cols]
+        )
     w = (
         Window.partitionBy(*groups, "__rbkt")
         .orderBy("__rid")
