@@ -44,7 +44,9 @@ def incremental_bake(
     last bake's result for the untouched groups."""
     keys = [groups] if isinstance(groups, str) else list(groups)
     affected = new_rows.select(*keys).distinct()
-    todo = full_input.join(F.broadcast(affected), on=keys, how="left_semi")
-    keep = previous_output.join(F.broadcast(affected), on=keys, how="left_anti")
+    # no broadcast hint: a day's append can touch millions of groups;
+    # AQE broadcasts the key set when it is actually small
+    todo = full_input.join(affected, on=keys, how="left_semi")
+    keep = previous_output.join(affected, on=keys, how="left_anti")
     baked = recipe.bake(todo)
     return keep.unionByName(baked.select(*previous_output.columns))
