@@ -50,7 +50,7 @@ def pandas_fill(pdf, forward, limit):
     ids=["ffill1", "ffill2", "bfill1", "bfill3"],
 )
 @settings(
-    max_examples=12,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
