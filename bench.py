@@ -51,6 +51,7 @@ HEADLINE = [
     "text_features",
     "token_histogram",
     "ann_cosine_topk",
+    "spline_basis",
 ]
 
 # transcript volume for the recipe-bake throughput number
