@@ -509,3 +509,56 @@ def salted_trailing(
         .where(F.col("__carry") == 0)
         .select(*base_cols, *[F.col(f"{c}_{suffix}") for c in cols])
     )
+
+
+def group_size_stats(df: DataFrame, groups: Sequence[str], sequence: str) -> dict:
+    """One aggregation pass over the group-count table: group count,
+    p50/p99/max group sizes, and the sequence span of the LARGEST group
+    (what bucket sizing needs). Cheap relative to any windowed step —
+    run it once per table, not per step."""
+    groups = list(groups)
+    dtype = dict(df.dtypes)[sequence]
+    if dtype in ("timestamp", "timestamp_ntz"):
+        seq_num = F.unix_timestamp(F.col(sequence))
+    else:
+        seq_num = F.col(sequence).cast("double")
+    counts = df.groupBy(*groups).agg(
+        F.count("*").alias("__n"),
+        (F.max(seq_num) - F.min(seq_num)).alias("__span"),
+    )
+    row = counts.agg(
+        F.count("*").alias("n_groups"),
+        F.max("__n").alias("max_rows"),
+        F.percentile_approx("__n", F.array(F.lit(0.5), F.lit(0.99)), F.lit(10_000)).alias("q"),
+        F.max_by("__span", "__n").alias("max_span"),
+    ).first()
+    return {
+        "n_groups": row.n_groups,
+        "p50_rows": int(row.q[0]),
+        "p99_rows": int(row.q[1]),
+        "max_rows": int(row.max_rows),
+        "max_group_span": float(row.max_span) if row.max_span is not None else 0.0,
+    }
+
+
+def recommend_skew_bucket_size(
+    df: DataFrame,
+    groups: Sequence[str],
+    sequence: str,
+    target_rows_per_bucket: int = 500_000,
+    salt_above_rows: int = 4_000_000,
+) -> "int | None":
+    """Measured-crossover advisor (BENCH.md): below ~10^6–10^7 rows in
+    the largest group the plain single-window plan WINS (salting costs
+    extra shuffles and forfeits window fusion); above it, salt with
+    buckets of ~10^5–10^6 rows. Returns a ``skew_bucket_size`` in
+    SEQUENCE units for StepHistorical/StepImputeFill/StepSessionize,
+    or None when the plain plan is the right call."""
+    stats = group_size_stats(df, groups, sequence)
+    if stats["max_rows"] < salt_above_rows:
+        return None
+    n_buckets = max(2, stats["max_rows"] // target_rows_per_bucket)
+    span = stats["max_group_span"]
+    if span <= 0:
+        return None  # degenerate (constant sequence) — salting can't bucket
+    return max(1, int(span / n_buckets))

@@ -376,3 +376,53 @@ def test_incremental_bake_equals_full(spark):
         full["value_mean"].to_numpy(dtype=float),
     )
     np.testing.assert_array_equal(inc["value"].to_numpy(), full["value"].to_numpy())
+
+
+def test_skew_advisor(spark, transcripts):
+    """recommend_skew_bucket_size encodes the measured crossover: plain
+    below the threshold, sensible sequence-unit buckets above it."""
+    from recipys_spark.functions.skew import (
+        group_size_stats,
+        recommend_skew_bucket_size,
+    )
+
+    stats = group_size_stats(transcripts, ["conv_id"], "turn_idx")
+    assert stats["max_rows"] == 160  # skew_factor=20 fixture
+    assert stats["n_groups"] == 30
+    assert stats["p50_rows"] <= 11
+
+    # fixture is far below the real crossover: plain plan recommended
+    assert (
+        recommend_skew_bucket_size(transcripts, ["conv_id"], "turn_idx") is None
+    )
+    # force the threshold down: buckets in sequence units near
+    # span/n_buckets, and salted == plain with that size
+    size = recommend_skew_bucket_size(
+        transcripts,
+        ["conv_id"],
+        "turn_idx",
+        target_rows_per_bucket=20,
+        salt_above_rows=100,
+    )
+    assert size is not None and size >= 1
+    plain = (
+        _recipe(transcripts)
+        .add_step(StepHistorical(sel=all_of(["value"]), fun=Accumulator.MEAN))
+        .prep()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    salted = (
+        _recipe(transcripts)
+        .add_step(
+            StepHistorical(
+                sel=all_of(["value"]), fun=Accumulator.MEAN, skew_bucket_size=size
+            )
+        )
+        .prep()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    np.testing.assert_array_equal(
+        salted["value_mean"].to_numpy(), plain["value_mean"].to_numpy()
+    )
