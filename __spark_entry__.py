@@ -524,6 +524,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rollup_counts"] = rollup_counts
 
+    def cube_counts(s, d):
+        ev = _t(s, d, "events")
+        return ev.cube("event_type", F.year("ts").alias("yr")).agg(
+            F.count("*").alias("n")
+        )
+
+    q["cube_counts"] = cube_counts
+
+    def rank_suite(s, d):
+        from pyspark.sql import Window
+
+        ev = _t(s, d, "events")
+        w = Window.partitionBy("user_id").orderBy("ts")
+        return ev.select(
+            "event_id",
+            "user_id",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("prank"),
+            F.cume_dist().over(w).alias("cdist"),
+        )
+
+    q["window_rank_suite"] = rank_suite
+
     # -- dedup ---------------------------------------------------------------
     q["dedup_exact"] = lambda s, d: exact_dedup(_t(s, d, "documents")).select("doc_id")
 
@@ -902,6 +927,20 @@ def oracle_sql() -> dict[str, str]:
     o["rollup_counts"] = (
         "SELECT event_type, count(*) AS n, max(value) AS max_value "
         "FROM events GROUP BY ROLLUP(event_type)"
+    )
+
+    o["cube_counts"] = (
+        "SELECT event_type, year(ts) AS yr, count(*) AS n "
+        "FROM events GROUP BY CUBE(event_type, year(ts))"
+    )
+    # percent_rank/cume_dist are exact rationals of small ints — the
+    # double division is correctly rounded in both engines
+    o["window_rank_suite"] = (
+        "SELECT event_id, user_id, "
+        "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
+        "ntile(4) OVER w AS quartile, "
+        "percent_rank() OVER w AS prank, cume_dist() OVER w AS cdist "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
     )
 
     _fp = TX.SQL_FINGERPRINT.format(c="text")
