@@ -536,7 +536,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyspark.sql import Window
 
         ev = _t(s, d, "events")
-        w = Window.partitionBy("user_id").orderBy("ts")
+        # event_id tiebreaker: ntile is tie-sensitive, so duplicate
+        # (user_id, ts) pairs would let Spark and the oracle assign
+        # quartiles differently — the deterministic total order keeps
+        # the hash-parity check stable on any fixture
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         return ev.select(
             "event_id",
             "user_id",
@@ -940,7 +944,7 @@ def oracle_sql() -> dict[str, str]:
         "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
         "ntile(4) OVER w AS quartile, "
         "percent_rank() OVER w AS prank, cume_dist() OVER w AS cdist "
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
     )
 
     _fp = TX.SQL_FINGERPRINT.format(c="text")

@@ -288,7 +288,10 @@ class StepHistorical(Step):
         )
 
         def per_group(pdf):
-            pdf = pdf.sort_values(seq_cols)
+            # na_position="first" mirrors Spark's asc_nulls_first window
+            # ordering, so NULL sequence keys see the same expanding
+            # history on both median paths
+            pdf = pdf.sort_values(seq_cols, na_position="first")
             res = pdf[key_cols].copy()
             for c in cols:
                 res[f"{c}_{suffix}"] = pdf[c].expanding().median()
@@ -305,4 +308,18 @@ class StepHistorical(Step):
             for c in cols
         ]
         meds = meds.select(*key_cols, *fixed)
-        return df.join(meds, on=key_cols, how="inner")
+        # Null-safe join-back: Spark's groupBy/applyInPandas treats NULL
+        # group/sequence keys as their own group, so the Arrow path
+        # computes their medians too — a plain equi-join (NULL != NULL)
+        # would silently drop those rows, diverging from the
+        # window-percentile mirror which keeps them. (groups, sequence)
+        # is the engine's required-unique ordering key, so the inner
+        # null-safe join is exactly row-preserving.
+        cond = None
+        for kc in key_cols:
+            eq = df[kc].eqNullSafe(meds[kc])
+            cond = eq if cond is None else cond & eq
+        return df.join(meds, cond, "inner").select(
+            *[df[c] for c in df.columns],
+            *[meds[f"{c}_{suffix}"] for c in cols],
+        )

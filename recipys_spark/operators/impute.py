@@ -141,8 +141,25 @@ class StepImputeFill(Step):
             else:
                 aggs.append(F.max(col).alias(f"__fill_{c}"))
         if groups:
-            stats = df.groupBy(*groups).agg(*aggs)
-            joined = df.join(stats, on=list(groups), how="left")
+            # Null-safe join: groupBy treats a NULL group key as its own
+            # group (matching the reference's window-partition
+            # semantics), so rows in the null-key group must still
+            # receive their group's fill value — a plain equi-join
+            # (NULL != NULL) would leave them unfilled.
+            # stats derives from df, so same-name column refs would
+            # resolve to one attribute (a trivially-true predicate) —
+            # rename the stats keys to break the self-join lineage
+            stats = df.groupBy(*groups).agg(*aggs).select(
+                *[F.col(g).alias(f"__key_{g}") for g in groups],
+                *[F.col(f"__fill_{c}") for c in self.columns],
+            )
+            cond = None
+            for g in groups:
+                eq = F.col(g).eqNullSafe(F.col(f"__key_{g}"))
+                cond = eq if cond is None else cond & eq
+            joined = df.join(stats, cond, "left").drop(
+                *[f"__key_{g}" for g in groups]
+            )
         else:
             joined = df.crossJoin(F.broadcast(df.agg(*aggs)))
         return joined.select(

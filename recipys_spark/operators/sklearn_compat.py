@@ -113,8 +113,23 @@ class StepSklearn(Step):
         columnwise = self.columnwise
         in_place = self.in_place
 
-        # probe output arity on an empty frame is unreliable; use a 1-row sample
-        sample = df.select(*columns).limit(1).toPandas()
+        # Probe output arity on a 1-row sample (empty frames are
+        # unreliable). `limit(1)` without ordering is partition-order
+        # dependent, and a row with nulls can mis-probe a transformer's
+        # output arity — order by (null count asc, content hash) so the
+        # probe row is deterministic at any partitioning and fully
+        # non-null whenever one exists.
+        nullcnt = None
+        for c in columns:
+            term = F.col(c).isNull().cast("int")
+            nullcnt = term if nullcnt is None else nullcnt + term
+        h = F.xxhash64(*[F.col(c) for c in columns])
+        sample = (
+            df.select(*columns)
+            .orderBy(nullcnt.asc(), h.asc())
+            .limit(1)
+            .toPandas()
+        )
         if columnwise:
             outs = {c: np.asarray(_transform_one(fitted[c], sample, c)) for c in columns}
             n_out_per_col = {c: outs[c].shape[1] if outs[c].ndim > 1 else 1 for c in columns}

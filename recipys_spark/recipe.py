@@ -103,7 +103,16 @@ class Recipe:
 
     # -- role management (reference recipe.py:62–100) --------------------
 
+    def _require_data(self) -> Ingredients:
+        if self.data is None:
+            raise ValueError(
+                "recipe was cache()d (data reference dropped); "
+                "role mutation requires a data-bound recipe"
+            )
+        return self.data
+
     def add_roles(self, columns: Union[str, Sequence[str]], new_role: str) -> "Recipe":
+        self._require_data()
         for col in _as_list(columns):
             self.data = self.data.add_role(col, new_role)
         return self
@@ -114,6 +123,7 @@ class Recipe:
         new_role: str,
         old_role: Optional[str] = None,
     ) -> "Recipe":
+        self._require_data()
         for col in _as_list(columns):
             self.data = self.data.update_role(col, new_role, old_role)
         return self
@@ -233,5 +243,6 @@ class Recipe:
             step._trained = st["trained"]
         return self
 
-    def __repr__(self) -> str:  # pragma: no cover
-        return f"Recipe(roles={self.data.roles}, steps={self.steps})"
+    def __repr__(self) -> str:
+        roles = self.data.roles if self.data is not None else self._cached_roles
+        return f"Recipe(roles={roles}, steps={self.steps})"

@@ -164,3 +164,43 @@ def test_median_long_conversation_bounded_time(spark):
     assert wall < 120, f"expanding median took {wall:.0f}s — quadratic plan?"
     exp = float(np.median(pdf["x1"].to_numpy()))
     np.testing.assert_allclose(got[0]["x1_median"], exp)
+
+
+def test_median_null_keys_survive_both_paths(spark):
+    """Rows with NULL group or sequence keys must survive the Arrow
+    median join-back (null-safe join) and match the window-percentile
+    mirror, which keeps them via NULL window partitions/ordering."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1.0, 1.0, None, None, 2.0, 2.0],
+            "time": [0.0, 1.0, 0.0, 1.0, 0.0, None],
+            "x1": [10.0, 20.0, 5.0, 7.0, 1.0, 3.0],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+
+    def run(**kw):
+        rec = Recipe(
+            sdf, predictors=["x1"], groups="id", sequences="time"
+        ).add_step(
+            StepHistorical(
+                sel=all_numeric_predictors(), fun=Accumulator.MEDIAN, **kw
+            )
+        )
+        return (
+            rec.prep()
+            .toPandas()
+            .sort_values(["id", "time"], na_position="first")
+            .reset_index(drop=True)
+        )
+
+    a = run(median_via_pandas=False)
+    b = run()
+    assert len(a) == len(pdf) and len(b) == len(pdf)
+    np.testing.assert_allclose(
+        a["x1_median"].to_numpy(dtype=float),
+        b["x1_median"].to_numpy(dtype=float),
+        equal_nan=True,
+    )

@@ -168,3 +168,33 @@ def test_impute_model_applyinpandas(spark, pdf_nan):
 
     with pytest.raises(ValueError):
         StepImputeModel(sel=all_of(["x1"]))
+
+
+def test_group_stat_fill_null_group_key(spark):
+    """NULL group keys form their own fill group (the reference's
+    window-partition semantics): nulls there are filled from the
+    null-group's own statistic, not left unfilled by a NULL!=NULL
+    equi-join."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1.0, 1.0, None, None, None],
+            "time": [0.0, 1.0, 0.0, 1.0, 2.0],
+            "x1": [10.0, None, 4.0, None, 8.0],
+        }
+    )
+    rec = Recipe(
+        spark.createDataFrame(pdf), predictors=["x1"], groups="id", sequences="time"
+    ).add_step(StepImputeFill(sel=all_of(["x1"]), strategy="mean"))
+    got = (
+        rec.prep()
+        .toPandas()
+        .sort_values(["id", "time"], na_position="first")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)
+    # null-group rows sort first: mean of (4, 8) = 6 fills its null
+    np.testing.assert_allclose(
+        got["x1"].to_numpy(dtype=float), [4.0, 6.0, 8.0, 10.0, 10.0]
+    )

@@ -153,3 +153,18 @@ def test_sklearn_gate_raises_cleanly():
     if not HAS_SKLEARN:
         with pytest.raises(ImportError):
             StepSklearn(object())
+
+
+def test_cached_recipe_repr_and_role_guard(example_recipe):
+    """cache() drops the data reference; repr must still work (reads
+    the cached roles) and role mutation must fail with a clear error,
+    not an AttributeError on None."""
+    import pytest as _pytest
+
+    example_recipe.cache()
+    r = repr(example_recipe)
+    assert "Recipe(roles=" in r
+    with _pytest.raises(ValueError, match="cache"):
+        example_recipe.add_roles("x1", "predictor")
+    with _pytest.raises(ValueError, match="cache"):
+        example_recipe.update_roles("x1", "outcome")
