@@ -571,7 +571,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda s, d: minhash_lsh_pairs(
         _t(s, d, "documents"), num_hashes=32, bands=4, threshold=0.8
     )
-    q["dedup_simhash"] = lambda s, d: simhash_clusters(_t(s, d, "documents"))
+    # vectorized=True: the Arrow simhash path (bit-identical to the
+    # expression mirror — pinned by tests/test_vectorized_signatures) —
+    # measured 7x faster at sf0.1 (4.38s -> 0.63s)
+    q["dedup_simhash"] = lambda s, d: simhash_clusters(
+        _t(s, d, "documents"), vectorized=True
+    )
 
     # -- text analysis ---------------------------------------------------------
     def text_features(s, d):

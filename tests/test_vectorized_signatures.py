@@ -1,0 +1,185 @@
+"""Size-gated vectorized signature paths (LSH / IVF / SimHash).
+
+The expression forms (interpreted HOFs, literal multiply-add chains)
+are the measured win at sandbox dims but collapse at production dims
+(plan construction + the JVM 64KB codegen limit). The pandas_udf paths
+must be BIT-IDENTICAL where arithmetic is exact: the ±1 weights and
+token hashes derive from the same xxhash64 via the Spark-parity port
+in functions/xxh64.py, pinned here against live F.xxhash64 output.
+"""
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from recipys_spark.functions import xxh64
+from recipys_spark.functions.text import simhash32, simhash32_udf
+from recipys_spark.operators.dedup import simhash_clusters
+from recipys_spark.operators.similarity import (
+    VECTORIZE_EXPR_NODES,
+    hyperplane_signature,
+    hyperplane_signature_udf,
+    hyperplane_weights,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
+
+
+def test_xxh64_port_matches_spark(spark):
+    """The pure-Python xxhash64 must equal F.xxhash64 bit-for-bit for
+    every input shape the signature paths hash: longs, chained ints
+    (bare literals are IntegerType), and UTF-8 strings across the
+    byte / 4-byte / 8-byte / 32-byte-block code paths."""
+    strings = ["", "a", "the", "hello", "naïve-ütf8",
+               "a much longer token string exceeding thirty-two bytes for block path"]
+    row = spark.range(1).select(
+        F.xxhash64(F.lit(5).cast("long")).alias("l1"),
+        F.xxhash64(F.lit(5).cast("long"), F.lit(7).cast("long")).alias("l2"),
+        F.xxhash64(F.lit(3), F.lit(11), F.lit(42)).alias("i3"),
+        *[F.xxhash64(F.lit(s)).alias(f"s{i}") for i, s in enumerate(strings)],
+    ).collect()[0]
+    assert xxh64.to_signed(xxh64.hash_long(5)) == row["l1"]
+    assert xxh64.to_signed(xxh64.hash_longs((5, 7))) == row["l2"]
+    assert xxh64.to_signed(xxh64.hash_ints((3, 11, 42))) == row["i3"]
+    for i, s in enumerate(strings):
+        assert xxh64.hash_token(s) == row[f"s{i}"], s
+
+
+def test_simhash_udf_bit_identical(spark):
+    """Integer arithmetic end-to-end → the vectorized simhash equals
+    the 32-aggregate-pass expression form exactly, including empty
+    text, repeated tokens, punctuation, and NULL propagation."""
+    texts = [
+        "the quick brown fox", "the the the quick", "", "   ",
+        "naïve café déjà-vu", "one", "a b c d e f g h i j k l m n o p",
+        None,
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = (
+        df.select(
+            "doc_id",
+            simhash32(F.col("text")).alias("expr"),
+            simhash32_udf()(F.col("text")).alias("vec"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    for r in got:
+        assert r["expr"] == r["vec"], r
+
+
+def test_simhash_clusters_vectorized_equals_expression(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = simhash_clusters(docs).orderBy("doc_id").collect()
+    b = simhash_clusters(docs, vectorized=True).orderBy("doc_id").collect()
+    assert a == b and len(a) > 0
+
+
+def _int_embeddings(spark, n, dim, seed=7):
+    """Integer-valued embeddings: every dot product / ±1 projection is
+    exact in double, so expression-vs-numpy summation order cannot
+    differ — bit-parity is guaranteed, not probabilistic."""
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [
+                rng.integers(-9, 10, size=dim).astype(float).tolist()
+                for _ in range(n)
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_hyperplane_udf_bit_identical(spark):
+    dim, n_planes = 16, 10
+    df = _int_embeddings(spark, 200, dim)
+    got = (
+        df.select(
+            "vec_id",
+            hyperplane_signature(F.col("embedding"), n_planes, dim, seed=99).alias("expr"),
+            hyperplane_signature_udf(n_planes, dim, seed=99)(F.col("embedding")).alias("vec"),
+        )
+        .where(F.col("expr") != F.col("vec"))
+        .count()
+    )
+    assert got == 0
+
+
+def test_hyperplane_weights_match_expression_derivation(spark):
+    """The driver-side weight matrix reproduces the per-row expression
+    weights (pmod(xxhash64(p,i,seed),2))."""
+    w = hyperplane_weights(3, 5, seed=13)
+    rows = spark.range(1).select(
+        *[
+            F.when(
+                F.pmod(F.xxhash64(F.lit(p), F.lit(i), F.lit(13)), F.lit(2)) == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)).alias(f"w_{p}_{i}")
+            for p in range(3)
+            for i in range(5)
+        ]
+    ).collect()[0]
+    for p in range(3):
+        for i in range(5):
+            assert w[p, i] == rows[f"w_{p}_{i}"]
+
+
+def test_lsh_vectorized_equals_expression(spark):
+    df = _int_embeddings(spark, 300, 16)
+    kw = dict(k=5, n_planes=6, dim=16, n_tables=2)
+    a = lsh_cosine_topk(df, df, vectorized=False, **kw)
+    b = lsh_cosine_topk(df, df, vectorized=True, **kw)
+    ka = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in a.collect()}
+    kb = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in b.collect()}
+    assert ka == kb and len(ka) > 0
+
+
+def test_ivf_vectorized_equals_literal_chain(spark):
+    """One-hot centroids + integer embeddings → exact scores → the
+    pandas_udf argmax/argsort must reproduce the literal-chain cell
+    assignment (including the lower-index tie-break) and therefore the
+    identical top-k output."""
+    dim = 12
+    df = _int_embeddings(spark, 300, dim)
+    centroids = [[1.0 if i == c else 0.0 for i in range(dim)] for c in range(8)]
+    kw = dict(k=5, n_centroids=8, nprobe=3, centroids=centroids)
+    a = ivf_cosine_topk(df, df, vectorized=False, **kw)
+    b = ivf_cosine_topk(df, df, vectorized=True, **kw)
+    ka = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in a.collect()}
+    kb = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in b.collect()}
+    assert ka == kb and len(ka) > 0
+
+
+def test_production_dims_auto_vectorize_bounded_plan_time(spark):
+    """At production dims (256 centroids × 256 dims = 65k nodes;
+    16 planes × 256 dims with 2 tables) the auto gate must pick the
+    vectorized path and plan construction + execution must stay
+    bounded — the literal-chain form at these sizes stalls plan
+    building and trips the 64KB codegen method limit."""
+    dim = 256
+    assert 256 * dim >= VECTORIZE_EXPR_NODES  # gate engages
+    df = _int_embeddings(spark, 400, dim)
+    rng = np.random.default_rng(3)
+    cents = rng.normal(size=(256, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    t0 = time.time()
+    out = ivf_cosine_topk(
+        df, df, k=3, nprobe=2, centroids=[c.tolist() for c in cents]
+    )
+    n = out.count()
+    ivf_wall = time.time() - t0
+    t0 = time.time()
+    out2 = lsh_cosine_topk(df, df, k=3, n_planes=16, dim=dim, n_tables=2)
+    n2 = out2.count()
+    lsh_wall = time.time() - t0
+    assert n > 0 and n2 > 0
+    # generous bound: the point is "doesn't stall for minutes/fail"
+    assert ivf_wall < 60, f"IVF at production dims took {ivf_wall:.1f}s"
+    assert lsh_wall < 60, f"LSH at production dims took {lsh_wall:.1f}s"
