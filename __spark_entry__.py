@@ -3,9 +3,14 @@
 One ``queries()`` entry per implemented operator from SURVEY.md §2 and
 the training-pipeline extensions, each exercised THROUGH the
 recipys_spark engine (Recipe/Step or the operator functions), with a
-DuckDB-runnable ANSI-SQL oracle in ``oracle_sql()``. Non-SQL-expressible
-ops (minhash LSH — xxhash64-based; hyperplane ANN; simhash; multimodal
-UDF plumbing) have queries but no oracle → driver records rows-only.
+DuckDB-runnable ANSI-SQL oracle in ``oracle_sql()``. The dedup/ANN
+queries run with PORTABLE parameterizations (md5-based hash family;
+explicit literal hyperplanes/centroids shared between the Spark query
+and the SQL string), so their full pipelines — bucketing, candidate
+join, rescoring, top-k — replay in DuckDB and hash-match; the
+xxhash64-based production variants of the same operators are pinned by
+pytest equivalence/recall tests instead. Only the multimodal UDF
+plumbing stays rows-only (no decoder in DuckDB).
 
 Float outputs are BIT-IDENTICAL across engines: means/variances use
 exact decimal accumulation (functions/deterministic.py) and the SQL
@@ -50,6 +55,35 @@ from recipys_spark.operators.multimodal import extract_features, synthetic_media
 from recipys_spark.operators.similarity import cosine_topk, lsh_cosine_topk
 from recipys_spark.functions import text as TX
 from recipys_spark.selector import all_of
+
+
+def _lsh_weights() -> list:
+    """The literal ±1 hyperplanes shared by the ann_lsh_topk query and
+    its DuckDB mirror (8 planes × 64 dims, the xxhash64-derived matrix
+    from similarity.hyperplane_weights — same buckets as the seed-42
+    expression form)."""
+    from recipys_spark.operators.similarity import hyperplane_weights
+
+    return [[float(x) for x in row] for row in hyperplane_weights(8, 64, seed=42)]
+
+
+def _ivf_centroids(n: int = 8, dim: int = 64) -> list:
+    """Deterministic unit-norm centroids shared by the ann_ivf_topk
+    query and its DuckDB mirror. Fixed literals (not sample-trained)
+    so the oracle can replay cell assignment; index *training* is
+    covered by pytest recall tests (tests/test_dedup_text_similarity)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    c = rng.normal(size=(n, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in c]
+
+
+def _sql_list(vec) -> str:
+    """A python float list as a DuckDB DOUBLE[] literal; repr() is the
+    shortest round-trip form, so both engines see the identical double."""
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -564,18 +598,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), block_cols=("lang",), threshold=0.8, shingle=5
     )
 
-    # xxhash-based: no SQL mirror → rows-only check
     # bands=4 → r=8 rows/band: collision threshold (1/b)^(1/r) ≈ 0.84,
     # matched to the 0.8 verify threshold so candidates stay sparse
-    # even on high-baseline-similarity corpora
+    # even on high-baseline-similarity corpora. hash_family="md5": the
+    # Kirsch–Mitzenmacher double-hash family whose every step has an
+    # exact DuckDB mirror — the full LSH pipeline hash-matches; the
+    # xxhash64 production family is pinned by pytest equivalence tests.
     q["dedup_minhash_lsh"] = lambda s, d: minhash_lsh_pairs(
-        _t(s, d, "documents"), num_hashes=32, bands=4, threshold=0.8
+        _t(s, d, "documents"), num_hashes=32, bands=4, threshold=0.8,
+        hash_family="md5",
     )
     # vectorized=True: the Arrow simhash path (bit-identical to the
     # expression mirror — pinned by tests/test_vectorized_signatures) —
-    # measured 7x faster at sf0.1 (4.38s -> 0.63s)
+    # measured 7x faster at sf0.1 (4.38s -> 0.63s). md5 hash family →
+    # full DuckDB mirror.
     q["dedup_simhash"] = lambda s, d: simhash_clusters(
-        _t(s, d, "documents"), vectorized=True
+        _t(s, d, "documents"), vectorized=True, hash_family="md5"
     )
 
     # -- text analysis ---------------------------------------------------------
@@ -611,22 +649,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine_topk"] = ann_brute
 
-    # hyperplane LSH: no SQL mirror → rows-only
+    # hyperplane LSH with explicit literal planes (same ±1 matrix the
+    # seed-42 expression form derives): the DuckDB mirror replays the
+    # bucketing + Hamming-1 multiprobe + rescoring and hash-matches
     def ann_lsh(s, d):
         emb = _t(s, d, "embeddings")
         return lsh_cosine_topk(
-            emb.where(F.col("vec_id") < 5), emb, k=10, n_planes=8, dim=64
+            emb.where(F.col("vec_id") < 5), emb, k=10, weights=_lsh_weights()
         )
 
     q["ann_lsh_topk"] = ann_lsh
 
-    # IVF (sample-trained spherical k-means cells): no SQL mirror → rows-only
+    # IVF with fixed literal centroids (index training covered by
+    # pytest recall tests): cell assignment + nprobe + rescoring
+    # replay in the DuckDB mirror
     def ann_ivf(s, d):
         from recipys_spark.operators.similarity import ivf_cosine_topk
 
         emb = _t(s, d, "embeddings")
         return ivf_cosine_topk(
-            emb.where(F.col("vec_id") < 5), emb, k=10, n_centroids=8, nprobe=3
+            emb.where(F.col("vec_id") < 5), emb, k=10, nprobe=3,
+            centroids=_ivf_centroids(),
         )
 
     q["ann_ivf_topk"] = ann_ivf
@@ -1017,6 +1060,138 @@ def oracle_sql() -> dict[str, str]:
         "FROM scored QUALIFY rank <= 10"
     )
 
-    # no oracles (not SQL-expressible / engine-specific hashing):
-    # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, multimodal_features
+    # -- portable dedup/ANN mirrors: the queries run with md5-family
+    # hashing / literal planes+centroids precisely so these full
+    # pipelines (bucketing → candidates → rescore → top-k) replay in
+    # DuckDB and hash-match -------------------------------------------------
+
+    _h15 = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+    _h2 = "CAST(concat('0x', substring(md5({x}), 16, 15)) AS BIGINT)"
+    _P = 2147483647  # KM_PRIME in operators/dedup.py
+
+    # MinHash+LSH: 32 KM hashes h_i = (a + i*b) mod p, 4 bands × 8 rows,
+    # star linking (hub = min doc id per bucket), exact-Jaccard verify
+    _mins = ", ".join(f"min((a + {i}*b) % {_P}) AS m{i}" for i in range(32))
+    _bandsel = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"m{b * 8 + j}" for j in range(8))
+        + ") AS key FROM sig"
+        for b in range(4)
+    )
+    o["dedup_minhash_lsh"] = (
+        "WITH toks AS (SELECT doc_id, "
+        f"list_distinct({_toks}) AS tk FROM documents), "
+        "docs AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0), "
+        "tok AS (SELECT doc_id, u.t AS t FROM docs, unnest(tk) AS u(t)), "
+        f"h AS (SELECT doc_id, {_h15.format(x='t')} % {_P} AS a, "
+        f"{_h2.format(x='t')} % {_P} AS b FROM tok), "
+        f"sig AS (SELECT doc_id, {_mins} FROM h GROUP BY doc_id), "
+        f"banded AS ({_bandsel}), "
+        "hubs AS (SELECT band, key, min(doc_id) AS hub "
+        "FROM banded GROUP BY band, key), "
+        "cand AS (SELECT DISTINCT h.hub AS id_a, bd.doc_id AS id_b "
+        "FROM banded bd JOIN hubs h USING (band, key) "
+        "WHERE bd.doc_id != h.hub) "
+        "SELECT * FROM ("
+        "SELECT c.id_a, c.id_b, "
+        "len(list_intersect(da.tk, db.tk)) "
+        "/ CAST(len(list_distinct(list_concat(da.tk, db.tk))) AS DOUBLE) "
+        "AS jaccard "
+        "FROM cand c JOIN docs da ON da.doc_id = c.id_a "
+        "JOIN docs db ON db.doc_id = c.id_b"
+        ") WHERE jaccard >= 0.8"
+    )
+
+    # SimHash (md5 family): per-token 60-bit hash, ±1 votes per bit,
+    # signature = sum of 1<<i where votes positive; clusters of size>1
+    _votes = ", ".join(
+        f"CAST(sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{i}"
+        for i in range(32)
+    )
+    _sig_sum = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(32)
+    )
+    o["dedup_simhash"] = (
+        "WITH toks AS (SELECT doc_id, "
+        f"list_distinct({_toks}) AS tk FROM documents), "
+        "tok AS (SELECT doc_id, u.t AS t FROM toks, unnest(tk) AS u(t)), "
+        f"hh AS (SELECT doc_id, {_h15.format(x='t')} AS h FROM tok), "
+        f"votes AS (SELECT doc_id, {_votes} FROM hh GROUP BY doc_id), "
+        f"sims AS (SELECT doc_id, {_sig_sum} AS simhash FROM votes) "
+        "SELECT doc_id, simhash FROM sims "
+        "QUALIFY count(*) OVER (PARTITION BY simhash) > 1"
+    )
+
+    # hyperplane LSH topk: literal ±1 planes → signature, Hamming-1
+    # multiprobe, candidate join on buckets, exact cosine, top-10
+    _W = _lsh_weights()
+    _sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {_sql_list(w)}) > 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p, w in enumerate(_W)
+    )
+    _probe_unions = " UNION ALL ".join(
+        [f"SELECT vec_id, sig AS bucket FROM sq"]
+        + [
+            f"SELECT vec_id, xor(sig, CAST({1 << p} AS BIGINT)) AS bucket FROM sq"
+            for p in range(len(_W))
+        ]
+    )
+    _cos6 = (
+        "round(list_dot_product(q.e, n.e) / "
+        "(sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(n.e, n.e))), 6)"
+    )
+    o["ann_lsh_topk"] = (
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        f"sc AS (SELECT vec_id, e, {_sig_terms} AS sig FROM c), "
+        "sq AS (SELECT * FROM sc WHERE vec_id < 5), "
+        f"probes AS ({_probe_unions}), "
+        "cand AS (SELECT DISTINCT p.vec_id AS query_id, t.vec_id AS neighbor_id "
+        "FROM probes p JOIN sc t ON p.bucket = t.sig "
+        "WHERE p.vec_id != t.vec_id), "
+        "scored AS (SELECT cd.query_id, cd.neighbor_id, "
+        f"{_cos6} AS cosine "
+        "FROM cand cd JOIN sc q ON q.vec_id = cd.query_id "
+        "JOIN sc n ON n.vec_id = cd.neighbor_id) "
+        "SELECT query_id, neighbor_id, cosine, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS INT) AS rank "
+        "FROM scored QUALIFY rank <= 10"
+    )
+
+    # IVF topk: literal centroid dots, first-max cell (ties → lower
+    # index, same as the struct-sort in Spark), nprobe=3 probes via
+    # struct-sorted (-dot, idx), rescore + top-10
+    _C = _ivf_centroids()
+    _dlist = (
+        "[" + ", ".join(f"list_dot_product(e, {_sql_list(c)})" for c in _C) + "]"
+    )
+    _probe_structs = (
+        "["
+        + ", ".join(f"{{'ns': -ds[{j + 1}], 'c': {j}}}" for j in range(len(_C)))
+        + "]"
+    )
+    o["ann_ivf_topk"] = (
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        f"cd AS (SELECT vec_id, e, {_dlist} AS ds FROM c), "
+        "cells AS (SELECT vec_id, e, "
+        "list_indexof(ds, list_max(ds)) - 1 AS cell FROM cd), "
+        "qd AS (SELECT * FROM cd WHERE vec_id < 5), "
+        "qp AS (SELECT vec_id, e, u.cell AS cell FROM ("
+        "SELECT vec_id, e, list_slice(list_transform("
+        f"list_sort({_probe_structs}), s -> s.c), 1, 3) AS pc FROM qd"
+        "), unnest(pc) AS u(cell)), "
+        "scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
+        f"{_cos6} AS cosine "
+        "FROM qp q JOIN cells n ON q.cell = n.cell "
+        "WHERE q.vec_id != n.vec_id) "
+        "SELECT query_id, neighbor_id, cosine, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS INT) AS rank "
+        "FROM scored QUALIFY rank <= 10"
+    )
+
+    # no oracles (UDF decode plumbing — no decoder in DuckDB):
+    # multimodal_features, multimodal_real_decode
     return o

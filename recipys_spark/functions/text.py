@@ -93,7 +93,18 @@ def fingerprint(col) -> "F.Column":
     return F.md5(normalized_text(col))
 
 
-def simhash32_udf():
+def _token_hash_expr(t, hash_family: str):
+    """Per-token 64-bit hash column: xxhash64 (production) or the
+    60-bit md5 prefix (portable — exact DuckDB mirror, see
+    SQL_SIMHASH)."""
+    if hash_family == "xxhash64":
+        return F.xxhash64(t)
+    if hash_family != "md5":
+        raise ValueError("hash_family must be 'xxhash64' or 'md5'")
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash32_udf(hash_family: str = "xxhash64"):
     """Vectorized SimHash: Arrow-batched pandas_udf, BIT-IDENTICAL to
     ``simhash32`` (integer arithmetic end-to-end; token hashes come
     from the xxh64 Spark-parity port, memoized per worker since token
@@ -105,7 +116,12 @@ def simhash32_udf():
 
     import numpy as np
 
-    from recipys_spark.functions.xxh64 import hash_token
+    from recipys_spark.functions.xxh64 import hash_token, hash_token_md5
+
+    if hash_family == "md5":
+        hash_token = hash_token_md5
+    elif hash_family != "xxhash64":
+        raise ValueError("hash_family must be 'xxhash64' or 'md5'")
 
     ws = re.compile(r"\s+")
     shifts = np.arange(32, dtype=np.int64)
@@ -131,13 +147,14 @@ def simhash32_udf():
     return sh
 
 
-def simhash32(col) -> "F.Column":
+def simhash32(col, hash_family: str = "xxhash64") -> "F.Column":
     """32-bit SimHash over whitespace tokens, fully JVM-side.
 
-    Each distinct token hashes (xxhash64) once; bit i of the signature
-    is 1 iff the sum over tokens of ±1 (by the token-hash's bit i) is
-    positive. Near-duplicates differ in few bits (small Hamming
-    distance)."""
+    Each distinct token hashes once (xxhash64, or the 60-bit md5
+    prefix for the SQL-mirrorable ``hash_family="md5"``); bit i of the
+    signature is 1 iff the sum over tokens of ±1 (by the token-hash's
+    bit i) is positive. Near-duplicates differ in few bits (small
+    Hamming distance)."""
     toks = F.array_distinct(tokens(col))
     out = F.lit(0).cast("long")
     for i in range(32):
@@ -145,7 +162,11 @@ def simhash32(col) -> "F.Column":
             toks,
             F.lit(0),
             lambda acc, t: acc
-            + F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            + F.when(
+                F.shiftright(_token_hash_expr(t, hash_family), i).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1),
         )
         out = out + F.when(bit_sum > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return out

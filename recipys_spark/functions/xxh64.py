@@ -140,3 +140,15 @@ def hash_token(token: str, seed: int = SPARK_SEED) -> int:
     zipfian, so the cache absorbs most of the per-token hashing cost
     inside a long-lived Python worker."""
     return to_signed(hash_bytes(token.encode("utf-8"), seed))
+
+
+@lru_cache(maxsize=1 << 20)
+def hash_token_md5(token: str) -> int:
+    """Portable 60-bit token hash: the first 15 hex chars of md5 —
+    the ``hash_family="md5"`` mirror of Spark's
+    ``conv(substring(md5(t),1,15),16,10)`` / DuckDB's hex cast.
+    Module-level (not a closure) so pandas_udfs that capture it stay
+    picklable."""
+    import hashlib
+
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:15], 16)

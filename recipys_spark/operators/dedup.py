@@ -99,12 +99,50 @@ def jaccard_pairs(
     )
 
 
-def minhash_signature(toks_col, num_hashes: int, seed: int = 42):
-    """Array of num_hashes MinHash values over a token array column."""
+#: modulus of the portable (md5-based) Kirsch–Mitzenmacher hash family
+KM_PRIME = 2147483647  # 2^31 - 1: products with i < num_hashes stay in int64
+
+
+def minhash_signature(toks_col, num_hashes: int, seed: int = 42,
+                      hash_family: str = "xxhash64"):
+    """Array of num_hashes MinHash values over a token array column.
+
+    ``hash_family``:
+    - ``"xxhash64"`` (default): one JVM xxhash64 per (token, seed+i) —
+      the production path.
+    - ``"md5"``: Kirsch–Mitzenmacher double hashing h_i = (h1 + i·h2)
+      mod KM_PRIME where h1/h2 are the two 60-bit halves of the
+      token's md5 — every operation has an exact ANSI-SQL mirror, so
+      the whole MinHash+LSH pipeline becomes DuckDB-verifiable
+      (hash-match oracle). Same independence guarantees for LSH
+      banding (Kirsch & Mitzenmacher 2006); one md5 per token instead
+      of num_hashes xxhash64 calls.
+    """
+    if hash_family == "xxhash64":
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(toks_col, lambda t: F.xxhash64(t, F.lit(seed + i)))
+                )
+                for i in range(num_hashes)
+            ]
+        )
+    if hash_family != "md5":
+        raise ValueError("hash_family must be 'xxhash64' or 'md5'")
+    p = F.lit(KM_PRIME)
+    # nested transform: md5 evaluated ONCE per token, then both 60-bit
+    # halves parsed from the hex
+    pairs = F.transform(
+        F.transform(toks_col, lambda t: F.md5(t)),
+        lambda h: F.struct(
+            (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % p).alias("a"),
+            (F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % p).alias("b"),
+        ),
+    )
     return F.array(
         *[
             F.array_min(
-                F.transform(toks_col, lambda t: F.xxhash64(t, F.lit(seed + i)))
+                F.transform(pairs, lambda s: (s["a"] + F.lit(i) * s["b"]) % p)
             )
             for i in range(num_hashes)
         ]
@@ -121,6 +159,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     link: str = "star",
     shingle: "int | None" = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, Jaccard-verified;
     ``shingle=n`` switches the comparison unit from word tokens to
@@ -150,21 +189,28 @@ def minhash_lsh_pairs(
         F.size("__toks") > 0
     )
     sig = docs.select(
-        id_col, "__toks", minhash_signature(F.col("__toks"), num_hashes, seed).alias("__sig")
+        id_col,
+        "__toks",
+        minhash_signature(
+            F.col("__toks"), num_hashes, seed, hash_family=hash_family
+        ).alias("__sig"),
     )
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",", *[F.col("__sig")[b * r + j].cast("string") for j in range(r)]
+        )
+        # the portable (md5) family keeps the raw string key so the
+        # DuckDB mirror reproduces the buckets; the production family
+        # compresses it to a long (8 bytes on the band shuffle)
+        return joined if hash_family == "md5" else F.xxhash64(joined)
+
     banded = sig.select(
         id_col,
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.col("__sig")[b * r + j].cast("string") for j in range(r)]
-                            )
-                        ).alias("key"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
                     for b in range(bands)
                 ]
             )
@@ -318,6 +364,7 @@ def simhash_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     vectorized: bool = False,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Group docs by identical 32-bit SimHash; emit cluster ids for
     clusters of size > 1 (near-exact duplicates).
@@ -330,9 +377,9 @@ def simhash_clusters(
     if vectorized:
         from recipys_spark.functions.text import simhash32_udf
 
-        sig = simhash32_udf()(F.col(text_col))
+        sig = simhash32_udf(hash_family)(F.col(text_col))
     else:
-        sig = simhash32(F.col(text_col))
+        sig = simhash32(F.col(text_col), hash_family)
     sims = df.select(F.col(id_col), sig.alias("simhash"))
     w = Window.partitionBy("simhash")
     return (

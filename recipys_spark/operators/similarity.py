@@ -129,24 +129,31 @@ def hyperplane_weights(n_planes: int, dim: int, seed: int = 42):
     return w
 
 
-def hyperplane_signature(emb_col, n_planes: int, dim: int, seed: int = 42):
+def hyperplane_signature(emb_col, n_planes: int, dim: int, seed: int = 42,
+                         weights=None):
     """Deterministic random-hyperplane sign signature as a long.
 
     Plane p's weight for dimension i is ±1 derived from xxhash64(p, i,
-    seed) — reproducible on any cluster size with no side data."""
+    seed) — reproducible on any cluster size with no side data. Pass
+    ``weights`` (n_planes × dim, e.g. from ``hyperplane_weights``) to
+    inline explicit literal planes instead — the SQL-mirrorable form
+    (the DuckDB oracle reproduces buckets from the same literals)."""
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
-        weights = F.array(
-            *[
-                F.when(
-                    F.pmod(F.xxhash64(F.lit(p), F.lit(i), F.lit(seed)), F.lit(2)) == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                for i in range(dim)
-            ]
-        )
+        if weights is not None:
+            warr = F.array(*[F.lit(float(x)) for x in weights[p]])
+        else:
+            warr = F.array(
+                *[
+                    F.when(
+                        F.pmod(F.xxhash64(F.lit(p), F.lit(i), F.lit(seed)), F.lit(2)) == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0))
+                    for i in range(dim)
+                ]
+            )
         proj = F.aggregate(
-            F.zip_with(emb_col, weights, lambda x, w: x.cast("double") * w),
+            F.zip_with(emb_col, warr, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -154,7 +161,8 @@ def hyperplane_signature(emb_col, n_planes: int, dim: int, seed: int = 42):
     return sig
 
 
-def hyperplane_signature_udf(n_planes: int, dim: int, seed: int = 42):
+def hyperplane_signature_udf(n_planes: int, dim: int, seed: int = 42,
+                             weights=None):
     """Vectorized hyperplane signature: Arrow-batched pandas_udf over a
     broadcast-by-closure numpy ±1 matrix (8·planes·dim bytes — a 64×768
     production signature is 393KB, trivially shippable). One matmul per
@@ -170,7 +178,10 @@ def hyperplane_signature_udf(n_planes: int, dim: int, seed: int = 42):
 
     if n_planes > 62:
         raise ValueError("n_planes must be <= 62 (signature is one long)")
-    w_t = hyperplane_weights(n_planes, dim, seed).T  # dim × planes
+    if weights is not None:
+        w_t = np.asarray(weights, dtype=np.float64).T
+    else:
+        w_t = hyperplane_weights(n_planes, dim, seed).T  # dim × planes
     bitvals = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
 
     @F.pandas_udf("long")
@@ -196,6 +207,7 @@ def lsh_cosine_topk(
     seed: int = 42,
     n_tables: int = 1,
     vectorized: Optional[bool] = None,
+    weights=None,
 ) -> DataFrame:
     """Bucketed ANN: join queries to corpus rows sharing a hyperplane
     signature bucket (and, with multiprobe, all Hamming-1 buckets),
@@ -223,6 +235,11 @@ def lsh_cosine_topk(
     """
     if n_tables < 1:
         raise ValueError("n_tables must be >= 1")
+    if weights is not None:
+        # explicit literal planes (the SQL-mirrorable form): one table
+        if n_tables != 1:
+            raise ValueError("explicit weights imply n_tables=1")
+        n_planes, dim = len(weights), len(weights[0])
     if vectorized is None:
         vectorized = n_planes * dim >= VECTORIZE_EXPR_NODES
     table_seeds = [seed + 7919 * t for t in range(n_tables)]
@@ -237,9 +254,13 @@ def lsh_cosine_topk(
         )
         for t, ts in enumerate(table_seeds):
             if vectorized:
-                sig = hyperplane_signature_udf(n_planes, dim, ts)(F.col(vec_alias))
+                sig = hyperplane_signature_udf(n_planes, dim, ts, weights=weights)(
+                    F.col(vec_alias)
+                )
             else:
-                sig = hyperplane_signature(F.col(vec_alias), n_planes, dim, ts)
+                sig = hyperplane_signature(
+                    F.col(vec_alias), n_planes, dim, ts, weights=weights
+                )
             out = out.withColumn(f"__sig_{t}", sig)
         probes = []
         for t in range(n_tables):

@@ -183,3 +183,41 @@ def test_production_dims_auto_vectorize_bounded_plan_time(spark):
     # generous bound: the point is "doesn't stall for minutes/fail"
     assert ivf_wall < 60, f"IVF at production dims took {ivf_wall:.1f}s"
     assert lsh_wall < 60, f"LSH at production dims took {lsh_wall:.1f}s"
+
+
+def test_simhash_md5_family_expr_equals_udf(spark):
+    """The portable (md5) hash family: expression form ≡ Arrow udf,
+    exactly — same pin as the xxhash64 family."""
+    texts = ["the quick brown fox", "the the", "", "naïve café", None]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = (
+        df.select(
+            simhash32(F.col("text"), hash_family="md5").alias("expr"),
+            simhash32_udf("md5")(F.col("text")).alias("vec"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert r["expr"] == r["vec"], r
+
+
+def test_minhash_md5_family_finds_same_verified_pairs(spark):
+    """Hash families change CANDIDATES, not the verified output on a
+    corpus whose duplicate pairs are unambiguous: both families must
+    converge to the same Jaccard-verified pair set here."""
+    from recipys_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    texts = [base, base + "extra", "completely different words here now",
+             base, "unrelated content again entirely"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    kw = dict(num_hashes=32, bands=4, threshold=0.8)
+    a = {(r["id_a"], r["id_b"]) for r in
+         minhash_lsh_pairs(df, **kw).collect()}
+    b = {(r["id_a"], r["id_b"]) for r in
+         minhash_lsh_pairs(df, hash_family="md5", **kw).collect()}
+    assert a == b and (0, 3) in a
