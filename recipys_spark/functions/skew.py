@@ -547,14 +547,18 @@ def recommend_skew_bucket_size(
     sequence: str,
     target_rows_per_bucket: int = 500_000,
     salt_above_rows: int = 4_000_000,
+    stats: "dict | None" = None,
 ) -> "int | None":
     """Measured-crossover advisor (BENCH.md): below ~10^6–10^7 rows in
     the largest group the plain single-window plan WINS (salting costs
     extra shuffles and forfeits window fusion); above it, salt with
     buckets of ~10^5–10^6 rows. Returns a ``skew_bucket_size`` in
     SEQUENCE units for StepHistorical/StepImputeFill/StepSessionize,
-    or None when the plain plan is the right call."""
-    stats = group_size_stats(df, groups, sequence)
+    or None when the plain plan is the right call. Pass precomputed
+    ``stats`` (one ``group_size_stats`` per table) to derive multiple
+    per-step-class recommendations from a single probe pass."""
+    if stats is None:
+        stats = group_size_stats(df, groups, sequence)
     if stats["max_rows"] < salt_above_rows:
         return None
     n_buckets = max(2, stats["max_rows"] // target_rows_per_bucket)

@@ -301,7 +301,8 @@ class StepSpline(_FittedStep):
         knots: str = "uniform",
         prefix: str = "Spline",
         role: str = "predictor",
-        exact: bool = True,
+        exact: Optional[bool] = None,
+        rows_hint: Optional[int] = None,
     ) -> None:
         super().__init__(sel)
         if n_knots < 2:
@@ -315,7 +316,8 @@ class StepSpline(_FittedStep):
         self.knots = knots
         self.prefix = prefix
         self.role = role
-        self.exact = exact  # quantile knots: exact vs sketch percentiles
+        self.exact = exact  # quantile knots: None = auto by input size
+        self.rows_hint = rows_hint
         self.desc = f"B-spline basis (degree {degree}, {n_knots} knots)"
 
     @property
@@ -341,10 +343,11 @@ class StepSpline(_FittedStep):
                 for c in self.columns
             }
         else:
-            from recipys_spark.operators.scale import percentile_agg
+            from recipys_spark.operators.scale import percentile_agg, resolve_exact
 
+            ex = resolve_exact(self.exact, df, self.rows_hint)
             aggs = [
-                percentile_agg(F.col(c), fracs, self.exact).alias(c)
+                percentile_agg(F.col(c), fracs, ex).alias(c)
                 for c in self.columns
             ]
             row = df.agg(*aggs).first().asDict()

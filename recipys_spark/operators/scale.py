@@ -42,6 +42,26 @@ def percentile_agg(col, probs, exact: bool = True, accuracy: int = 10_000):
     return F.percentile_approx(col, arr, F.lit(accuracy))
 
 
+#: auto switch point for percentile fits: exact at/below (oracle
+#: bit-parity), sketch above (bounded executor memory)
+AUTO_EXACT_MAX_ROWS = 100_000_000
+
+
+def resolve_exact(exact, df, rows_hint=None) -> bool:
+    """Resolve a step's ``exact=None`` default by probing the input
+    size ONCE at fit time: exact percentiles at/below
+    AUTO_EXACT_MAX_ROWS (bit-identical to the numpy/DuckDB oracles),
+    the percentile_approx sketch above — the exact aggregator buffers
+    every value per column in executor memory, which is an OOM at the
+    engine's own 10^10+-row target scale, so a scale-unsafe DEFAULT is
+    a landmine even though the opt-in sketch exists. ``rows_hint``
+    skips the count job (callers that already know the cardinality)."""
+    if exact is not None:
+        return exact
+    n = rows_hint if rows_hint is not None else df.count()
+    return n <= AUTO_EXACT_MAX_ROWS
+
+
 class _FittedStep(Step):
     """Base for steps whose state is a dict[col, dict[param, value]]."""
 
@@ -162,16 +182,23 @@ class StepMaxAbsScale(_FittedStep):
 
 class StepRobustScale(_FittedStep):
     """(c - median) / IQR, sklearn RobustScaler defaults (q 25/75).
-    ``exact=False`` fits on approximate percentiles (bounded memory at
-    10^11+ rows; see percentile_agg)."""
+    ``exact=None`` (default) auto-selects exact vs sketch percentiles
+    by input size (see resolve_exact); True/False forces a path."""
 
-    def __init__(self, sel: Optional[Selector] = None, exact: bool = True) -> None:
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        exact: Optional[bool] = None,
+        rows_hint: Optional[int] = None,
+    ) -> None:
         super().__init__(sel)
         self.exact = exact
+        self.rows_hint = rows_hint
 
     def do_fit(self, ingredients: Ingredients) -> None:
+        ex = resolve_exact(self.exact, ingredients.df, self.rows_hint)
         aggs = [
-            percentile_agg(F.col(c), [0.25, 0.5, 0.75], self.exact).alias(c)
+            percentile_agg(F.col(c), [0.25, 0.5, 0.75], ex).alias(c)
             for c in self.columns
         ]
         row = ingredients.df.agg(*aggs).first().asDict()
@@ -254,17 +281,17 @@ class StepKBinsDiscretize(_FittedStep):
     """Bucket into k bins (sklearn KBinsDiscretizer, ordinal encoding).
 
     strategy='uniform': equal-width bins from fitted min/max;
-    strategy='quantile': bin edges at fitted quantiles (exact
-    ``percentile`` by default — matches numpy linear interpolation;
-    ``exact=False`` fits on approximate percentiles for 10^11+-row
-    tables, see percentile_agg)."""
+    strategy='quantile': bin edges at fitted quantiles (auto
+    exact-vs-sketch by input size, see resolve_exact — exact matches
+    numpy linear interpolation and the DuckDB oracles)."""
 
     def __init__(
         self,
         sel: Optional[Selector] = None,
         n_bins: int = 5,
         strategy: str = "uniform",
-        exact: bool = True,
+        exact: Optional[bool] = None,
+        rows_hint: Optional[int] = None,
     ) -> None:
         super().__init__(sel)
         if strategy not in ("uniform", "quantile"):
@@ -274,6 +301,7 @@ class StepKBinsDiscretize(_FittedStep):
         self.n_bins = n_bins
         self.strategy = strategy
         self.exact = exact
+        self.rows_hint = rows_hint
         self.desc = f"KBins({n_bins}, {strategy})"
 
     def do_fit(self, ingredients: Ingredients) -> None:
@@ -291,9 +319,10 @@ class StepKBinsDiscretize(_FittedStep):
                 ]
                 self.state[c] = {"edges": edges}
         else:
+            ex = resolve_exact(self.exact, df, self.rows_hint)
             probs = [i / self.n_bins for i in range(self.n_bins + 1)]
             aggs = [
-                percentile_agg(F.col(c), probs, self.exact).alias(c)
+                percentile_agg(F.col(c), probs, ex).alias(c)
                 for c in self.columns
             ]
             row = df.agg(*aggs).first().asDict()
@@ -323,7 +352,7 @@ class StepQuantileTransform(_FittedStep):
         self,
         sel: Optional[Selector] = None,
         n_quantiles: int = 100,
-        exact: bool = True,
+        exact: Optional[bool] = None,
     ) -> None:
         super().__init__(sel)
         self.n_quantiles = n_quantiles
@@ -331,11 +360,12 @@ class StepQuantileTransform(_FittedStep):
         self.desc = f"QuantileTransform({n_quantiles})"
 
     def do_fit(self, ingredients: Ingredients) -> None:
-        n = ingredients.df.count()
+        n = ingredients.df.count()  # also the resolve_exact probe
+        ex = resolve_exact(self.exact, ingredients.df, rows_hint=n)
         k = min(self.n_quantiles, max(2, n))
         probs = [i / (k - 1) for i in range(k)]
         aggs = [
-            percentile_agg(F.col(c), probs, self.exact).alias(c)
+            percentile_agg(F.col(c), probs, ex).alias(c)
             for c in self.columns
         ]
         row = ingredients.df.agg(*aggs).first().asDict()

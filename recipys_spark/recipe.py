@@ -76,6 +76,12 @@ def _untag(obj):
 
 
 class Recipe:
+    #: auto_skew crossover thresholds (rows in the largest group), from
+    #: the BENCH.md measurements; class attributes so deployments (and
+    #: tests) can tune them for their executor memory profile
+    AUTO_SKEW_SALT_ABOVE = 4_000_000
+    AUTO_SKEW_ROLLING_SALT_ABOVE = 100_000_000
+
     def __init__(
         self,
         data: Union[DataFrame, Ingredients],
@@ -168,13 +174,65 @@ class Recipe:
                 ingredients = step.transform(ingredients)
         return ingredients
 
+    def _configure_auto_skew(self, ingredients: Ingredients) -> dict:
+        """Probe group-size skew ONCE and thread the advisor's bucket
+        size into every skew-capable step that wasn't hand-configured
+        (functions/skew.py encodes the BENCH.md measured crossovers).
+
+        Per-class policy, from the crossover measurements:
+        - expanding/fill/lag/sessionize steps: their plain plans put a
+          whole group through ONE window task (O(n) state) — salt when
+          the largest group exceeds ~4M rows (7.9–40× wins measured).
+        - StepRolling (trailing windows): the cumsum-difference plan is
+          O(1)/row in a single task, so salting only pays once a group
+          exceeds one executor's sort capacity — threshold 10^8 rows.
+        """
+        from recipys_spark.functions.skew import (
+            group_size_stats,
+            recommend_skew_bucket_size,
+        )
+        from recipys_spark.operators.historical import StepRolling
+        from recipys_spark.selector import select_groups, select_sequence
+
+        groups = select_groups(ingredients)
+        seqs = select_sequence(ingredients)
+        configurable = [
+            s
+            for s in self.steps
+            if hasattr(s, "skew_bucket_size") and s.skew_bucket_size is None
+        ]
+        if not groups or not seqs or not configurable:
+            return {}
+        stats = group_size_stats(ingredients.df, groups, seqs[0])
+        window_bucket = recommend_skew_bucket_size(
+            ingredients.df, groups, seqs[0],
+            salt_above_rows=self.AUTO_SKEW_SALT_ABOVE, stats=stats,
+        )
+        rolling_bucket = recommend_skew_bucket_size(
+            ingredients.df, groups, seqs[0],
+            salt_above_rows=self.AUTO_SKEW_ROLLING_SALT_ABOVE, stats=stats,
+        )
+        for s in configurable:
+            s.skew_bucket_size = (
+                rolling_bucket if isinstance(s, StepRolling) else window_bucket
+            )
+        return stats
+
     def prep(
         self,
         data: Optional[Union[DataFrame, Ingredients]] = None,
         refit: bool = False,
+        auto_skew: bool = False,
     ) -> DataFrame:
-        """Fit + transform (train path). Returns the lazy result frame."""
+        """Fit + transform (train path). Returns the lazy result frame.
+
+        ``auto_skew=True`` runs one group-size probe and configures the
+        salted two-phase plans on skew-capable steps per the measured
+        crossovers — the hands-free version of passing
+        ``skew_bucket_size`` to each step."""
         ingredients = self._check_data(data)
+        if auto_skew:
+            self._configure_auto_skew(ingredients)
         result = self._apply_fit_transform(ingredients, refit=refit)
         # record post-prep roles so bake wraps inputs consistently
         if self.data is not None:

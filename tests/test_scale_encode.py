@@ -326,3 +326,30 @@ def test_label_binarize_binary_quirk(spark):
         got3.columns
     )
     assert list(got3["LabelBinarizer_2"]) == [0, 1, 0]
+
+
+def test_percentile_fit_auto_switches_to_sketch(spark):
+    """exact=None (the default) must pick the sketch path above
+    AUTO_EXACT_MAX_ROWS — the exact percentile aggregator buffers every
+    value in executor memory and OOMs at the engine's target scale.
+    rows_hint simulates the large input; the sketch's un-interpolated
+    median (an actual element, not 2.5) proves the path taken."""
+    import pandas as pd
+
+    from recipys_spark import Recipe
+    from recipys_spark.operators import StepRobustScale
+    from recipys_spark.operators.scale import resolve_exact
+    from recipys_spark.selector import all_of
+
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0]})
+    df = spark.createDataFrame(pdf)
+    assert resolve_exact(None, df) is True  # small input stays exact
+    assert resolve_exact(None, df, rows_hint=10**12) is False
+
+    exact_step = StepRobustScale(sel=all_of(["x"]))
+    Recipe(df, predictors=["x"]).add_step(exact_step).prep()
+    assert exact_step.state["x"]["median"] == 2.5  # interpolated
+
+    sketch_step = StepRobustScale(sel=all_of(["x"]), rows_hint=10**12)
+    Recipe(df, predictors=["x"]).add_step(sketch_step).prep()
+    assert sketch_step.state["x"]["median"] in (2.0, 3.0)  # sketch element

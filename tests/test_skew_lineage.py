@@ -426,3 +426,74 @@ def test_skew_advisor(spark, transcripts):
     np.testing.assert_array_equal(
         salted["value_mean"].to_numpy(), plain["value_mean"].to_numpy()
     )
+
+
+def test_prep_auto_skew_configures_and_matches_plain(spark, monkeypatch):
+    """prep(auto_skew=True): one probe pass configures the salted plan
+    on skew-capable steps when the largest group crosses the
+    (tunable) threshold, leaves StepRolling plain below ITS much
+    higher trailing-window threshold, and produces values identical to
+    the plain plan. An un-skewed fixture stays entirely on the fused
+    single-window plan (bucket stays None)."""
+    import pandas as pd
+
+    from recipys_spark import Accumulator, Recipe
+    from recipys_spark.operators import StepHistorical
+    from recipys_spark.operators.historical import StepRolling
+    from recipys_spark.selector import all_of
+
+    # skewed: conv 1 has 400 rows, others 4 (threshold lowered to 100)
+    n_hot = 400
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [1] * n_hot + [2, 2, 2, 2, 3, 3, 3, 3],
+            "turn_idx": list(range(n_hot)) + [0, 1, 2, 3] * 2,
+            "value": [float(i % 17) for i in range(n_hot + 8)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def build():
+        return (
+            Recipe(df, predictors=["value"], groups="conv_id",
+                   sequences="turn_idx")
+            .add_step(StepHistorical(sel=all_of(["value"]),
+                                     fun=Accumulator.MEAN))
+            .add_step(StepRolling(sel=all_of(["value"]),
+                                  fun=Accumulator.MAX, window=3))
+        )
+
+    monkeypatch.setattr(Recipe, "AUTO_SKEW_SALT_ABOVE", 100)
+
+    plain_rec = build()
+    plain = (
+        plain_rec.prep().toPandas().sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    auto_rec = build()
+    auto = (
+        auto_rec.prep(auto_skew=True).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    hist, roll = auto_rec.steps
+    assert hist.skew_bucket_size is not None  # salted expanding plan
+    assert roll.skew_bucket_size is None  # trailing stays plain
+    pd.testing.assert_frame_equal(plain, auto)
+
+    # un-skewed fixture: nothing gets salted
+    flat = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": [1, 1, 2, 2, 3, 3],
+                "turn_idx": [0, 1] * 3,
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+            }
+        )
+    )
+    rec2 = (
+        Recipe(flat, predictors=["value"], groups="conv_id",
+               sequences="turn_idx")
+        .add_step(StepHistorical(sel=all_of(["value"]), fun=Accumulator.MEAN))
+    )
+    rec2.prep(auto_skew=True)
+    assert rec2.steps[0].skew_bucket_size is None
