@@ -698,6 +698,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_real_decode"] = media_real_decode
 
+    # REAL compressed tier: pure-stdlib PNG decode (zlib inflate +
+    # scanline unfiltering in numpy) over genuine PNG payloads →
+    # rows-only (no PNG decoder in DuckDB)
+    def media_png_decode(s, d):
+        from recipys_spark.operators.multimodal import (
+            extract_features,
+            png_decoder,
+            synthetic_pngs,
+        )
+
+        return extract_features(
+            synthetic_pngs(s, n=200, size=16), decoder=png_decoder
+        ).select(
+            "media_id", F.round(F.element_at("features", 1), 6).alias("f0")
+        )
+
+    q["multimodal_png_decode"] = media_png_decode
+
     return q
 
 

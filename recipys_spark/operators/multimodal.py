@@ -6,13 +6,17 @@ Arrow-batched ``mapInPandas`` UDFs so each Python worker sees whole
 record batches, never rows.
 
 Decode tiers:
-- **real**: uncompressed Netpbm images (P6 PPM / P5 PGM) are parsed in
-  pure numpy (``decode_netpbm``) — no codec library needed — with
+- **real (uncompressed)**: Netpbm images (P6 PPM / P5 PGM) are parsed
+  in pure numpy (``decode_netpbm``) — no codec library needed — with
   nearest-neighbor resize and a 16-dim feature extractor on top;
   ``synthetic_images`` generates genuine PPM payloads to drive it.
-- **stubbed**: compressed formats (JPEG/PNG/audio/video). The codecs
-  are not in this container; ``codec_decoder`` raises
-  NotImplementedError with the wiring instructions, and
+- **real (compressed)**: PNG (8-bit gray/RGB/RGBA, non-interlaced) via
+  a pure-stdlib decoder (``decode_png``: zlib inflate + the five scanline
+  filters unfiltered in numpy) and a matching encoder for fixtures —
+  a genuine compressed-codec tier with zero external dependencies.
+- **stubbed**: JPEG/audio/video. Those codecs are not in this
+  container; ``codec_decoder`` routes PNG to the real tier and raises
+  NotImplementedError with wiring instructions for the rest, and
   ``deterministic_fake_decoder`` produces seeded features from the
   payload hash so the plumbing — schema, partitioning, UDF signature,
   batch shape — stays real and tested for those kinds too.
@@ -89,11 +93,181 @@ def deterministic_fake_decoder(payload: bytes) -> np.ndarray:
     ) / np.float32(65535.0)
 
 
-def codec_decoder(payload: bytes) -> np.ndarray:  # pragma: no cover
+def codec_decoder(payload: bytes) -> np.ndarray:
+    """Compressed-format decode dispatch: PNG is decoded for real
+    (pure stdlib, below); JPEG/audio/video still need external codec
+    libraries not present in this container."""
+    if payload and payload[:8] == PNG_MAGIC:
+        return png_decoder(payload)
     raise NotImplementedError(
-        "Real image/audio decode needs codec libraries not present in this "
+        "JPEG/audio/video decode needs codec libraries not present in this "
         "container; wire Pillow/torchaudio here and keep the same signature."
     )
+
+
+# -- real compressed tier: PNG, pure stdlib --------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 HxW / HxWx3 / HxWx4 array → PNG bytes (filter 0 scanlines,
+    zlib-compressed) — the fixture generator for the real decode tier."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, ch = 0, 1
+        h, w = img.shape
+    elif img.ndim == 3 and img.shape[2] in (3, 4):
+        color_type = {3: 2, 4: 6}[img.shape[2]]
+        h, w, ch = img.shape
+    else:
+        raise ValueError(f"expected HxW, HxWx3 or HxWx4 uint8, got {img.shape}")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = img.reshape(h, w * ch)
+    scanlines = b"".join(b"\x00" + raw[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode: 8-bit gray / RGB / RGBA, non-interlaced.
+
+    Chunk walk → zlib inflate of concatenated IDAT → per-scanline
+    unfiltering (all five filter types: None/Sub/Up/Average/Paeth) in
+    numpy int arithmetic. No Pillow, no libpng — zlib is the Python
+    standard library."""
+    import struct
+    import zlib
+
+    if not payload or payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color_type, comp, filt, interlace = ihdr
+    if bit_depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got bit depth {bit_depth}")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    try:
+        ch = {0: 1, 2: 3, 6: 4}[color_type]
+    except KeyError:
+        raise ValueError(f"unsupported PNG color type {color_type}") from None
+
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).astype(np.int64)
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 1:  # Sub: recon[i] = raw[i] + recon[i-ch]
+            # per-byte-lane cumulative sum mod 256 — vectorized
+            recon = np.cumsum(line.reshape(w, ch), axis=0).reshape(stride) % 256
+        elif ftype == 2:  # Up
+            recon = (line + prev) % 256
+        elif ftype == 3:  # Average
+            recon = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = recon[i - ch] if i >= ch else 0
+                recon[i] = (line[i] + (a + prev[i]) // 2) % 256
+        elif ftype == 4:  # Paeth
+            recon = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = recon[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[i] = (line[i] + pr) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = recon
+        prev = recon
+    img = out.astype(np.uint8)
+    return img.reshape(h, w) if ch == 1 else img.reshape(h, w, ch)
+
+
+def png_decoder(payload: bytes, resize_to: "tuple[int, int] | None" = (8, 8)):
+    """Real compressed decode → optional resize → features (the PNG
+    analog of netpbm_decoder; RGBA drops alpha for the feature tier)."""
+    img = decode_png(payload)
+    if img.ndim == 3 and img.shape[2] == 4:
+        img = img[:, :, :3]
+    if resize_to is not None:
+        img = resize_nearest(img, *resize_to)
+    return image_features(img)
+
+
+def synthetic_pngs(spark: SparkSession, n: int = 100, size: int = 16) -> DataFrame:
+    """MEDIA_SCHEMA table whose payloads are REAL zlib-compressed PNG
+    bytes (same deterministic gradient+stripe pattern as
+    synthetic_images), generated executor-side via mapInPandas."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                yy, xx = np.mgrid[0:size, 0:size]
+                r = (xx * 255 // max(size - 1, 1)).astype(np.uint8)
+                g = (yy * 255 // max(size - 1, 1)).astype(np.uint8)
+                b = (((xx + yy + int(mid)) % 8) * 32).astype(np.uint8)
+                rows.append(encode_png(np.stack([r, g, b], axis=-1)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["id"],
+                    "kind": "image",
+                    "payload": rows,
+                    "meta": [
+                        {
+                            "mime": "image/png",
+                            "width": size,
+                            "height": size,
+                            "duration_ms": 0,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def extract_features(
