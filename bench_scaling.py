@@ -160,6 +160,16 @@ def main() -> None:
     }
     print(json.dumps(out))
 
+    # preserve every section after the scaling block (skew crossovers,
+    # headline suite, vectorized-signature measurements) — this script
+    # owns only the top section
+    tail = ""
+    if os.path.exists("BENCH.md"):
+        existing = open("BENCH.md").read()
+        idx = existing.find("\n## ")
+        if idx != -1:
+            tail = existing[idx:]
+
     with open("BENCH.md", "w") as f:
         f.write(
             f"""# BENCH — two-parallelism scaling evidence
@@ -198,6 +208,7 @@ and disks, so local-mode efficiency is a lower bound on cluster
 efficiency for this shuffle-light plan (one window stage per conv
 partition, AQE-coalesced); see SURVEY.md §4 for the shuffle budget.
 """
+            + tail
         )
 
 
