@@ -642,6 +642,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_histogram"] = token_histogram
 
+    # BPE-ish pre-tokenization counts (the LLM-pipeline token basis;
+    # whitespace counts underestimate code/punctuation-heavy text)
+    def bpe_tokens(s, d):
+        docs = _t(s, d, "documents")
+        return docs.select(
+            "doc_id",
+            TX.token_count(F.col("text")).alias("n_ws"),
+            TX.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        )
+
+    q["bpe_token_count"] = bpe_tokens
+
     # -- similarity search -------------------------------------------------------
     def ann_brute(s, d):
         emb = _t(s, d, "embeddings")
@@ -673,6 +685,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ann_ivf_topk"] = ann_ivf
+
+    # embedding near-dup pairs via ONE signature-bucket self-join
+    # (explicit literal planes → full DuckDB mirror). The synthetic
+    # corpus has no planted embedding near-dups (max pairwise cosine
+    # ~0.51), so threshold=0.0 keeps every same-bucket pair with
+    # non-negative cosine — non-trivial rows exercising the whole
+    # bucket-join + rescoring path; production callers pass ~0.9.
+    def neardup_lsh(s, d):
+        from recipys_spark.operators.dedup import embedding_neardup_lsh
+
+        return embedding_neardup_lsh(
+            _t(s, d, "embeddings"), threshold=0.0, weights=_lsh_weights()
+        )
+
+    q["dedup_neardup_lsh"] = neardup_lsh
 
     # -- multimodal plumbing (stubbed decode) → rows-only ---------------------------
     def media_features(s, d):
@@ -1210,6 +1237,26 @@ def oracle_sql() -> dict[str, str]:
         "FROM scored QUALIFY rank <= 10"
     )
 
+    o["bpe_token_count"] = (
+        "SELECT doc_id, "
+        f"{TX.SQL_TOKEN_COUNT.format(c='text')} AS n_ws, "
+        f"{TX.SQL_BPE_TOKEN_COUNT.format(c='text')} AS n_bpe "
+        "FROM documents"
+    )
+
+    # near-dup pairs: one full-signature bucket self-join + cosine
+    o["dedup_neardup_lsh"] = (
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        f"sc AS (SELECT vec_id, e, {_sig_terms} AS sig FROM c) "
+        "SELECT * FROM ("
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_dot_product(a.e, b.e) / "
+        "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) "
+        "AS cosine "
+        "FROM sc a JOIN sc b ON a.sig = b.sig AND a.vec_id < b.vec_id"
+        ") WHERE cosine >= 0.0"
+    )
+
     # no oracles (UDF decode plumbing — no decoder in DuckDB):
-    # multimodal_features, multimodal_real_decode
+    # multimodal_features, multimodal_real_decode, multimodal_png_decode
     return o

@@ -33,6 +33,31 @@ def token_count(col) -> "F.Column":
     return F.size(tokens(col))
 
 
+#: BPE-ish pre-tokenization pattern (GPT-2 style minus the lookahead,
+#: which RE2 — DuckDB's regex engine — doesn't support): apostrophe
+#: contractions, letter runs, digit runs, punctuation runs. Kept to
+#: ASCII classes so Java regex and RE2 agree byte-for-byte.
+BPE_ISH_PATTERN = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(col) -> "F.Column":
+    """Sub-word-ish pre-tokens (the unit a BPE tokenizer would merge
+    from): 'don't' → [don, 't], 'v2.0-beta' → [v, 2, ., 0, -, beta].
+    Pure JVM regexp_extract_all — the LLM-pipeline token-count basis
+    that whitespace tokens underestimate on code/punctuation-heavy
+    text."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def bpe_ish_token_count(col) -> "F.Column":
+    return F.size(bpe_ish_tokens(col))
+
+
+SQL_BPE_TOKEN_COUNT = (
+    "len(regexp_extract_all(lower({c}), '" + BPE_ISH_PATTERN.replace("'", "''") + "'))"
+)
+
+
 def char_shingles(col, n: int = 5) -> "F.Column":
     """Distinct character n-gram shingles of the whitespace-normalized
     text — the classic near-dup unit (robust to word-boundary edits

@@ -389,6 +389,46 @@ def simhash_clusters(
     )
 
 
+def embedding_neardup_lsh(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    weights=None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: ONE hyperplane-bucket
+    self-join (pairs must share the full signature — near-identical
+    vectors almost surely do), then exact cosine ≥ threshold.
+
+    The brute variant (embedding_neardup_pairs) is quadratic within
+    blocks; this shuffles on the 2^n_planes signature space, so the
+    quadratic term is bounded by bucket size (pick n_planes ≈
+    log2(|corpus|/10^3) as for lsh_cosine_topk). Recall is
+    per-signature exact-match (no multiprobe): tune n_planes DOWN for
+    higher recall at bigger buckets. Pass explicit ``weights`` for the
+    SQL-mirrorable form."""
+    from recipys_spark.operators.similarity import (
+        cosine_expr,
+        hyperplane_signature,
+    )
+
+    sig = hyperplane_signature(F.col(emb_col), n_planes, dim, seed, weights)
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(emb_col).alias("__ea"), sig.alias("__sig")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(emb_col).alias("__eb"), sig.alias("__sig")
+    )
+    pairs = a.join(b, "__sig").where(F.col("id_a") < F.col("id_b"))
+    cos = F.round(cosine_expr(F.col("__ea"), F.col("__eb")), 6)
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     emb_col: str = "embedding",

@@ -331,3 +331,51 @@ def test_multimodal_real_netpbm_decode(spark):
         .toPandas()
     )
     np.testing.assert_array_equal(mat, np.stack(out2.features.map(np.array)))
+
+
+def test_embedding_neardup_lsh(spark, embeddings):
+    """LSH-bucketed near-dup tier: the engineered near-identical pair
+    shares every hyperplane sign with overwhelming probability, so the
+    single full-signature bucket join must surface it; every returned
+    pair must also pass the exact-cosine filter (subset of brute)."""
+    from recipys_spark.operators.dedup import embedding_neardup_lsh
+
+    got = embedding_neardup_lsh(
+        embeddings, threshold=0.99, n_planes=4, dim=8
+    ).toPandas()
+    pairs = {(a, b) for a, b in zip(got.id_a, got.id_b)}
+    assert (0, 5) in pairs
+    brute = embedding_neardup_pairs(embeddings, threshold=0.99).toPandas()
+    truth = {(a, b) for a, b in zip(brute.id_a, brute.id_b)}
+    assert pairs <= truth  # LSH never invents pairs (exact rescoring)
+    assert (got.cosine >= 0.99).all()
+
+
+def test_bpe_ish_tokens(spark):
+    """BPE-ish pre-tokens split contractions, digit runs, and
+    punctuation runs that whitespace tokenization glues together."""
+    from recipys_spark.functions import text as TX
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["Don't stop", "v2.0-beta release", "plain words here"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        df.select(
+            "doc_id",
+            TX.bpe_ish_tokens(df.text).alias("toks"),
+            TX.token_count(df.text).alias("n_ws"),
+            TX.bpe_ish_token_count(df.text).alias("n_bpe"),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(out.toks[0]) == ["don", "'t", "stop"]
+    assert list(out.toks[1]) == ["v", "2", ".", "0", "-", "beta", "release"]
+    assert list(out.toks[2]) == ["plain", "words", "here"]
+    # punctuation-heavy text: BPE basis exceeds the whitespace count
+    assert out.n_bpe[0] > out.n_ws[0] and out.n_bpe[1] > out.n_ws[1]
+    assert out.n_bpe[2] == out.n_ws[2]
