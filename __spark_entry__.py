@@ -616,6 +616,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), vectorized=True, hash_family="md5"
     )
 
+    # -- end-to-end corpus cleaning (the flagship LLM-pipeline composition):
+    # quality/length filter -> exact dedup -> MinHash near-dedup, every
+    # stage SQL-mirrorable (md5 family + one-hop labels)
+    def corpus_clean(s, d):
+        from recipys_spark.operators.corpus import clean_corpus
+
+        return clean_corpus(
+            _t(s, d, "documents"),
+            min_tokens=5,
+            min_quality=0.2,
+            bands=4,
+            threshold=0.8,
+            hash_family="md5",
+            connected=False,
+        ).select("doc_id", "n_tokens", "quality", "lang_id")
+
+    q["corpus_clean"] = corpus_clean
+
     # -- text analysis ---------------------------------------------------------
     def text_features(s, d):
         docs = _t(s, d, "documents")
@@ -1166,6 +1184,40 @@ def oracle_sql() -> dict[str, str]:
         f"sims AS (SELECT doc_id, {_sig_sum} AS simhash FROM votes) "
         "SELECT doc_id, simhash FROM sims "
         "QUALIFY count(*) OVER (PARTITION BY simhash) > 1"
+    )
+
+    # end-to-end corpus cleaning: annotate+filter -> exact dedup (min-id
+    # per fingerprint) -> md5-family MinHash near-dedup (one-hop dup
+    # labels = distinct id_b of verified star edges) -> anti-join
+    o["corpus_clean"] = (
+        "WITH ann AS (SELECT doc_id, text, "
+        f"{TX.SQL_TOKEN_COUNT.format(c='text')} AS n_tokens, "
+        f"{TX.sql_quality_score('text')} AS quality, "
+        f"{TX.sql_lang_guess('text')} AS lang_id FROM documents), "
+        "filt AS (SELECT * FROM ann WHERE n_tokens >= 5 AND quality >= 0.2), "
+        "exact AS (SELECT * FROM filt "
+        f"QUALIFY row_number() OVER (PARTITION BY {_fp} ORDER BY doc_id) = 1), "
+        f"toksc AS (SELECT doc_id, list_distinct({_toks}) AS tk FROM exact), "
+        "docs AS (SELECT doc_id, tk FROM toksc WHERE len(tk) > 0), "
+        "tok AS (SELECT doc_id, u.t AS t FROM docs, unnest(tk) AS u(t)), "
+        f"h AS (SELECT doc_id, {_h15.format(x='t')} % {_P} AS a, "
+        f"{_h2.format(x='t')} % {_P} AS b FROM tok), "
+        f"sig AS (SELECT doc_id, {_mins} FROM h GROUP BY doc_id), "
+        f"banded AS ({_bandsel}), "
+        "hubs AS (SELECT band, key, min(doc_id) AS hub "
+        "FROM banded GROUP BY band, key), "
+        "cand AS (SELECT DISTINCT h.hub AS id_a, bd.doc_id AS id_b "
+        "FROM banded bd JOIN hubs h USING (band, key) "
+        "WHERE bd.doc_id != h.hub), "
+        "edges AS (SELECT c.id_a, c.id_b, "
+        "len(list_intersect(da.tk, db.tk)) "
+        "/ CAST(len(list_distinct(list_concat(da.tk, db.tk))) AS DOUBLE) "
+        "AS jaccard "
+        "FROM cand c JOIN docs da ON da.doc_id = c.id_a "
+        "JOIN docs db ON db.doc_id = c.id_b), "
+        "dups AS (SELECT DISTINCT id_b FROM edges WHERE jaccard >= 0.8) "
+        "SELECT e.doc_id, e.n_tokens, e.quality, e.lang_id FROM exact e "
+        "ANTI JOIN dups d ON e.doc_id = d.id_b"
     )
 
     # hyperplane LSH topk: literal ±1 planes → signature, Hamming-1

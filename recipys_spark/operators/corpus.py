@@ -1,0 +1,117 @@
+"""End-to-end corpus cleaning for LLM training-data pipelines.
+
+``clean_corpus`` composes the individual tiers this package ships —
+quality scoring, language ID, exact dedup, MinHash-LSH near-dedup —
+into the one pipeline a 100 TB pre-training run actually executes,
+ordered for scale:
+
+1. **annotate + filter** first: token count / quality / language are
+   pure codegen expressions evaluated in the parquet scan stage, so
+   the corpus shrinks before anything shuffles;
+2. **exact dedup**: one shuffle on the md5 fingerprint of the
+   *surviving* rows;
+3. **near-dedup**: MinHash banding over the exact-deduped set — the
+   band-key shuffle (the expensive step) runs on the smallest corpus.
+
+Each stage delegates to the tested single-purpose operator; this
+module adds only composition and the audit columns.
+
+Reference parity note: the reference engine (rvandewater/ReciPys) has
+no corpus operators at all (recipys/ holds step/recipe/selector only);
+this module is part of the LLM-pipeline superset tier.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from recipys_spark.functions.text import (
+    fingerprint,
+    lang_guess,
+    quality_score,
+    token_count,
+)
+from recipys_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: Optional[int] = None,
+    min_quality: float = 0.0,
+    langs: Optional[Sequence[str]] = None,
+    near_dedup: bool = True,
+    num_hashes: int = 32,
+    bands: int = 4,
+    threshold: float = 0.8,
+    hash_family: str = "xxhash64",
+    connected: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Clean a document corpus: quality/length/language filter, exact
+    dedup, then MinHash near-dedup. Returns the surviving rows with
+    audit columns ``n_tokens`` / ``quality`` / ``lang_id`` appended.
+
+    Survivor semantics: within an exact-duplicate group the min-id row
+    wins; within a near-dup cluster the docs labeled duplicates by
+    ``minhash_lsh_pairs`` star edges are dropped (``connected=True``
+    resolves chains A≈B≈C to one representative via
+    connected-components; ``connected=False`` is the cheaper one-hop
+    variant whose every step has an exact SQL mirror).
+
+    100 TB notes: stages 1–2 are one codegen scan plus one fingerprint
+    shuffle; the near-dedup band shuffle carries (id, band-key) rows
+    only, and the Jaccard verification joins token sets back by doc id
+    (see operators/dedup.py minhash_lsh_pairs for the full analysis).
+    """
+    c = F.col(text_col)
+    ann = df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        quality_score(c).alias("quality"),
+        lang_guess(c).alias("lang_id"),
+    )
+
+    cond = F.col("n_tokens") >= F.lit(min_tokens)
+    if max_tokens is not None:
+        cond = cond & (F.col("n_tokens") <= F.lit(max_tokens))
+    if min_quality > 0.0:
+        cond = cond & (F.col("quality") >= F.lit(min_quality))
+    if langs is not None:
+        cond = cond & F.col("lang_id").isin(list(langs))
+    filtered = ann.where(cond)
+
+    w = Window.partitionBy(fingerprint(c)).orderBy(id_col)
+    exact = (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    if not near_dedup:
+        return exact
+
+    edges = minhash_lsh_pairs(
+        exact,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        seed=seed,
+        link="star",
+        hash_family=hash_family,
+    )
+    if connected:
+        comps = connected_components(edges)
+        dups = comps.where(F.col("node") != F.col("comp")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        dups = edges.select(F.col("id_b").alias(id_col)).distinct()
+    return exact.join(dups, id_col, "left_anti")

@@ -106,12 +106,71 @@ def get_spark_iceberg(
     return get_spark(parallelism=parallelism, extra_conf=conf, **kw)
 
 
-def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
+#: path-suffix → Spark datasource format. Parquet is the performance
+#: default (columnar, statistics, predicate pushdown); CSV/JSON are
+#: interchange formats — row-oriented, no pushdown beyond partition
+#: pruning, so at 100 TB they belong at the ingest edge only (land →
+#: rewrite as parquet/Iceberg, then query).
+_SUFFIX_FORMATS = {
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+}
+
+
+#: Spark's default CSV/JSON timestamp formats carry milliseconds only —
+#: a silent microsecond truncation on round-trip. Pin full precision on
+#: both sides, for BOTH flavors: tz-less parquet (isAdjustedToUTC=false,
+#: what testdata and most lakehouse writers produce) surfaces as
+#: TIMESTAMP_NTZ, which is governed by timestampNTZFormat, not
+#: timestampFormat.
+_TEXT_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_TEXT_TS_NTZ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def _text_ts_options(rw):
+    return rw.option("timestampFormat", _TEXT_TS_FORMAT).option(
+        "timestampNTZFormat", _TEXT_TS_NTZ_FORMAT
+    )
+
+
+def _path_format(path: str, fmt: Optional[str]) -> str:
+    if fmt:
+        return fmt
+    for suffix, name in _SUFFIX_FORMATS.items():
+        if path.rstrip("/").endswith(suffix):
+            return name
+    return "parquet"
+
+
+def read_table(
+    spark: SparkSession,
+    name_or_path: str,
+    fmt: Optional[str] = None,
+    schema=None,
+) -> DataFrame:
     """Iceberg table name (contains a catalog dot and no slash) or a
-    parquet path."""
+    path; the format comes from ``fmt`` or the path suffix (parquet
+    default, orc/csv/json[l] recognized).
+
+    CSV/JSON notes: pass an explicit ``schema`` in production —
+    inference reads the data twice and types drift between runs;
+    headers are assumed for CSV (written by ``write_table``)."""
     if "/" not in name_or_path and "." in name_or_path:
         return spark.read.format("iceberg").load(name_or_path)
-    return spark.read.parquet(name_or_path)
+    f = _path_format(name_or_path, fmt)
+    reader = spark.read.format(f)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif f in ("csv", "json"):
+        reader = reader.option("inferSchema", "true")
+    if f in ("csv", "json"):
+        reader = _text_ts_options(reader)
+    if f == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(name_or_path)
 
 
 def write_table(
@@ -119,14 +178,24 @@ def write_table(
     name_or_path: str,
     mode: str = "overwrite",
     partition_by: Optional[list[str]] = None,
+    fmt: Optional[str] = None,
 ) -> None:
+    """Write to an Iceberg table (catalog name) or a path, format from
+    ``fmt``/suffix as in ``read_table``. ``partition_by`` produces
+    hive-style directory partitioning — the unit of partition pruning
+    for any reader."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if "/" not in name_or_path and "." in name_or_path:
         writer.format("iceberg").saveAsTable(name_or_path)
-    else:
-        writer.parquet(name_or_path)
+        return
+    f = _path_format(name_or_path, fmt)
+    if f in ("csv", "json"):
+        writer = _text_ts_options(writer)
+    if f == "csv":
+        writer = writer.option("header", "true")
+    writer.format(f).save(name_or_path)
 
 
 def synthetic_transcripts(
