@@ -616,6 +616,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), vectorized=True, hash_family="md5"
     )
 
+    # -- bucketed range (interval) join: every 97th event opens a 2-hour
+    # window; match all events of the same user falling inside it.
+    # Bucketing turns Spark's BroadcastNestedLoopJoin into a hash join.
+    def range_join_events(s, d):
+        from recipys_spark.operators.rangejoin import range_join
+
+        ev = _t(s, d, "events")
+        iv = ev.where(F.col("event_id") % 97 == 0).select(
+            F.col("event_id").alias("iid"),
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+        )
+        pts = ev.select("event_id", "user_id", "ts")
+        return range_join(pts, iv, on=["user_id"], bucket="1h").select(
+            "event_id", "user_id", "iid"
+        )
+
+    q["range_join_events"] = range_join_events
+
     # -- end-to-end corpus cleaning (the flagship LLM-pipeline composition):
     # quality/length filter -> exact dedup -> MinHash near-dedup, every
     # stage SQL-mirrorable (md5 family + one-hop labels)
@@ -1184,6 +1204,15 @@ def oracle_sql() -> dict[str, str]:
         f"sims AS (SELECT doc_id, {_sig_sum} AS simhash FROM votes) "
         "SELECT doc_id, simhash FROM sims "
         "QUALIFY count(*) OVER (PARTITION BY simhash) > 1"
+    )
+
+    # range join: plain inequality join — DuckDB's optimizer handles the
+    # small scale; the Spark side buckets (correctness is bucket-invariant)
+    o["range_join_events"] = (
+        "WITH iv AS (SELECT event_id AS iid, user_id, ts AS s, "
+        "ts + INTERVAL 2 HOUR AS e FROM events WHERE event_id % 97 = 0) "
+        "SELECT ev.event_id, ev.user_id, iv.iid FROM events ev "
+        "JOIN iv ON ev.user_id = iv.user_id AND ev.ts >= iv.s AND ev.ts < iv.e"
     )
 
     # end-to-end corpus cleaning: annotate+filter -> exact dedup (min-id

@@ -55,6 +55,7 @@ HEADLINE = [
     "polynomial_features",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "corpus_clean",
     "text_features",
     "token_histogram",
     "ann_cosine_topk",

@@ -1,0 +1,42 @@
+"""Streaming deduplication for live ingest pipelines.
+
+The batch tiers (operators/dedup.py) assume the corpus is at rest; a
+live transcript/document feed needs dedup state that does not grow
+without bound. ``streaming_exact_dedup`` uses
+``dropDuplicatesWithinWatermark`` keyed on the same whitespace-
+normalized md5 fingerprint as batch ``exact_dedup``: state holds only
+fingerprints younger than the watermark horizon, so memory is bounded
+by (ingest rate × watermark) instead of corpus size — the difference
+between a 100 TB/day feed running forever and an executor OOM.
+
+Semantics vs batch: batch keeps the min-id row per fingerprint;
+streaming keeps the FIRST-ARRIVING row per fingerprint within the
+watermark window, and duplicates separated by more than the watermark
+are NOT collapsed (they have left state). That is the standard
+streaming-dedup contract: exactness within the horizon, bounded state
+beyond it. Run a periodic batch ``exact_dedup`` compaction for full
+history exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from recipys_spark.functions.text import fingerprint
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drop exact-duplicate documents (normalized-text fingerprint)
+    from a stream, with state bounded by the watermark horizon."""
+    return (
+        stream.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )

@@ -193,3 +193,53 @@ def test_streaming_running_features_with_idle_timeout(spark, transcript_dir):
         oracle["value_mean"].to_numpy(dtype=float),
         equal_nan=True,
     )
+
+
+def test_streaming_exact_dedup_matches_batch_fingerprints(spark, tmp_path_factory):
+    """Streaming dedup keeps exactly one row per normalized-text
+    fingerprint (within the watermark horizon), agreeing with batch
+    exact_dedup on WHICH texts survive (winner row may differ: batch
+    keeps min id, streaming keeps first arrival)."""
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from recipys_spark.functions.text import fingerprint as fp_expr
+    from recipys_spark.operators.dedup import exact_dedup
+    from recipys_spark.streaming.dedup import streaming_exact_dedup
+
+    t0 = datetime(2024, 1, 1)
+    texts = [
+        "alpha beta gamma",
+        "alpha  BETA gamma",      # normalized dup of 0
+        "delta epsilon",
+        "alpha beta gamma",       # exact dup of 0
+        "zeta eta theta",
+        "delta epsilon",          # dup of 2
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "ts": [t0 + timedelta(minutes=i) for i in range(len(texts))],
+        }
+    )
+    path = str(tmp_path_factory.mktemp("sdedup") / "docs")
+    batch = spark.createDataFrame(pdf)
+    batch.write.parquet(path)
+
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    out = _run_stream(
+        spark, streaming_exact_dedup(stream), "sdedup", "append"
+    ).toPandas()
+
+    kept_batch = exact_dedup(spark.read.parquet(path)).select(
+        fp_expr(F.col("text")).alias("fp")
+    ).toPandas()
+    got = sorted(
+        spark.createDataFrame(out[["text"]])
+        .select(fp_expr(F.col("text")).alias("fp"))
+        .toPandas()
+        .fp
+    )
+    assert got == sorted(kept_batch.fp)          # same surviving texts
+    assert len(out) == 3 and len(set(got)) == 3  # one row per fingerprint
