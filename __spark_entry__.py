@@ -604,9 +604,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Kirsch–Mitzenmacher double-hash family whose every step has an
     # exact DuckDB mirror — the full LSH pipeline hash-matches; the
     # xxhash64 production family is pinned by pytest equivalence tests.
+    # vectorized=True: one Arrow numpy sweep per doc instead of 32
+    # interpreted transform/array_min passes over md5-conv structs —
+    # bit-identical signatures (pinned by tests), same DuckDB oracle.
     q["dedup_minhash_lsh"] = lambda s, d: minhash_lsh_pairs(
         _t(s, d, "documents"), num_hashes=32, bands=4, threshold=0.8,
-        hash_family="md5",
+        hash_family="md5", vectorized=True,
     )
     # vectorized=True: the Arrow simhash path (bit-identical to the
     # expression mirror — pinned by tests/test_vectorized_signatures) —

@@ -152,3 +152,15 @@ def hash_token_md5(token: str) -> int:
     import hashlib
 
     return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@lru_cache(maxsize=1 << 20)
+def hash_token_md5_pair(token: str) -> "tuple[int, int]":
+    """Both 60-bit md5 halves (hex chars 1–15 and 16–30, 1-indexed as
+    in Spark's substring) — the Kirsch–Mitzenmacher (h1, h2) basis of
+    the portable MinHash family. Raw (un-modded) so callers apply
+    their own modulus."""
+    import hashlib
+
+    h = hashlib.md5(token.encode("utf-8")).hexdigest()
+    return int(h[:15], 16), int(h[15:30], 16)

@@ -51,6 +51,7 @@ def clean_corpus(
     threshold: float = 0.8,
     hash_family: str = "xxhash64",
     connected: bool = True,
+    vectorized: bool = True,
     seed: int = 42,
 ) -> DataFrame:
     """Clean a document corpus: quality/length/language filter, exact
@@ -106,6 +107,7 @@ def clean_corpus(
         seed=seed,
         link="star",
         hash_family=hash_family,
+        vectorized=vectorized,
     )
     if connected:
         comps = connected_components(edges)

@@ -149,6 +149,75 @@ def minhash_signature(toks_col, num_hashes: int, seed: int = 42,
     )
 
 
+def minhash_signature_udf(
+    num_hashes: int, seed: int = 42, hash_family: str = "xxhash64"
+):
+    """Arrow-vectorized MinHash signatures, BIT-IDENTICAL to
+    ``minhash_signature`` (pure integer arithmetic; xxhash64 comes
+    from the pinned Spark-parity port, md5 halves from hashlib —
+    both memoized, token vocabularies are zipfian).
+
+    The expression form runs ``num_hashes`` interpreted higher-order
+    ``transform``/``array_min`` passes per document — for the md5
+    family each pass re-walks a struct array built from interpreted
+    ``conv(substring(md5(...)))`` calls, the expression class measured
+    ~10× slower than codegen. Here each token hashes ONCE per batch
+    (cached across batches) and the (h1 + i·h2) mod p sweep is one
+    numpy broadcast. Exact parity: a, b < 2³¹, i < num_hashes ⇒
+    products < 2³⁷, no int64 overflow."""
+    import numpy as np
+
+    from recipys_spark.functions.xxh64 import (
+        hash_int,
+        hash_token,
+        hash_token_md5_pair,
+        to_signed,
+    )
+
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError("hash_family must be 'xxhash64' or 'md5'")
+    idx = np.arange(num_hashes, dtype=np.int64)
+    # per-token signature rows, memoized in the closure: vocabularies
+    # are zipfian, so each worker hashes the head of the distribution
+    # once across all Arrow batches
+    memo: dict = {}
+
+    def _tok_row(t: str) -> "np.ndarray":
+        r = memo.get(t)
+        if r is None:
+            if hash_family == "md5":
+                a, b = hash_token_md5_pair(t)
+                r = (a % KM_PRIME + idx * (b % KM_PRIME)) % KM_PRIME
+            else:
+                # F.xxhash64(t, lit(seed+i)) CHAINS: the int hashes
+                # with the token's hash as its seed (Spark semantics)
+                h1 = hash_token(t)
+                r = np.fromiter(
+                    (to_signed(hash_int(seed + i, h1)) for i in range(num_hashes)),
+                    dtype=np.int64,
+                    count=num_hashes,
+                )
+            memo[t] = r
+        return r
+
+    @F.pandas_udf("array<bigint>")
+    def sig(toks):
+        import pandas as pd
+
+        out = []
+        for arr in toks:
+            if arr is None or len(arr) == 0:
+                # mirror the expression form: array_min over an empty
+                # transform is NULL per slot (callers filter empties)
+                out.append(None)
+                continue
+            vals = np.stack([_tok_row(t) for t in arr])
+            out.append(vals.min(axis=0))
+        return pd.Series(out)
+
+    return sig
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -160,6 +229,7 @@ def minhash_lsh_pairs(
     link: str = "star",
     shingle: "int | None" = None,
     hash_family: str = "xxhash64",
+    vectorized: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, Jaccard-verified;
     ``shingle=n`` switches the comparison unit from word tokens to
@@ -188,13 +258,15 @@ def minhash_lsh_pairs(
     docs = _token_sets(df, text_col, id_col, [], shingle).where(
         F.size("__toks") > 0
     )
-    sig = docs.select(
-        id_col,
-        "__toks",
-        minhash_signature(
+    if vectorized:
+        sig_col = minhash_signature_udf(num_hashes, seed, hash_family)(
+            F.col("__toks")
+        )
+    else:
+        sig_col = minhash_signature(
             F.col("__toks"), num_hashes, seed, hash_family=hash_family
-        ).alias("__sig"),
-    )
+        )
+    sig = docs.select(id_col, "__toks", sig_col.alias("__sig"))
 
     def band_key(b):
         joined = F.concat_ws(
@@ -327,6 +399,8 @@ def minhash_dedup(
     threshold: float = 0.5,
     seed: int = 42,
     connected: bool = True,
+    hash_family: str = "xxhash64",
+    vectorized: bool = False,
 ) -> DataFrame:
     """Per-doc near-dup labels: (id, cluster_id, is_duplicate).
 
@@ -337,7 +411,8 @@ def minhash_dedup(
     restores the cheaper one-hop hub labeling (each doc's min verified
     hub; chains keep distinct hubs)."""
     edges = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes, bands, threshold, seed, link="star"
+        df, text_col, id_col, num_hashes, bands, threshold, seed, link="star",
+        hash_family=hash_family, vectorized=vectorized,
     )
     if connected:
         comps = connected_components(edges)

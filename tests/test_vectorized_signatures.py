@@ -221,3 +221,57 @@ def test_minhash_md5_family_finds_same_verified_pairs(spark):
     b = {(r["id_a"], r["id_b"]) for r in
          minhash_lsh_pairs(df, hash_family="md5", **kw).collect()}
     assert a == b and (0, 3) in a
+
+
+def test_minhash_udf_bit_identical_both_families(spark):
+    """minhash_signature_udf ≡ minhash_signature for xxhash64 AND md5
+    families — exact integer arithmetic, so equality is guaranteed,
+    not approximate."""
+    from recipys_spark.functions.text import tokens
+    from recipys_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_udf,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "naïve ütf8 tökens ärö hashed by bytes",
+        "a",
+        "x " * 40 + "unique tail",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts})).select(
+        F.array_distinct(tokens(F.col("text"))).alias("toks")
+    )
+    for fam in ("xxhash64", "md5"):
+        both = df.select(
+            minhash_signature(F.col("toks"), 32, 42, hash_family=fam).alias("e"),
+            minhash_signature_udf(32, 42, fam)(F.col("toks")).alias("v"),
+        ).collect()
+        for r in both:
+            assert list(r.e) == list(r.v), fam
+
+
+def test_minhash_lsh_vectorized_equals_expression(spark):
+    """The full LSH pipeline emits identical verified pairs on both
+    signature paths, for both hash families."""
+    from recipys_spark.operators.dedup import minhash_lsh_pairs
+
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "pack my box with five dozen liquor jugs",
+        "pack my box with five dozen liquor jugs today",
+        "sphinx of black quartz judge my vow",
+    ] * 4  # repeated → exact dups across ids too
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(base)), "text": base})
+    )
+    for fam in ("xxhash64", "md5"):
+        a = minhash_lsh_pairs(df, bands=16, threshold=0.6, hash_family=fam,
+                              vectorized=False).toPandas()
+        b = minhash_lsh_pairs(df, bands=16, threshold=0.6, hash_family=fam,
+                              vectorized=True).toPandas()
+        assert sorted(zip(a.id_a, a.id_b, a.jaccard.round(9))) == sorted(
+            zip(b.id_a, b.id_b, b.jaccard.round(9))
+        ), fam
