@@ -619,6 +619,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), vectorized=True, hash_family="md5"
     )
 
+    # -- hypertable-style multi-grain rollup: ONE grouping-sets pass
+    # emits (user, day, hour) / (user, day) / (user) aggregate rows
+    def time_rollup_q(s, d):
+        from recipys_spark.operators.timeseries import time_rollup
+
+        return time_rollup(
+            _t(s, d, "events"),
+            ts_col="ts",
+            group_cols=["user_id"],
+            grains=("day", "hour"),
+            value_col="value",
+        )
+
+    q["time_rollup"] = time_rollup_q
+
     # -- bucketed range (interval) join: every 97th event opens a 2-hour
     # window; match all events of the same user falling inside it.
     # Bucketing turns Spark's BroadcastNestedLoopJoin into a hash join.
@@ -1207,6 +1222,25 @@ def oracle_sql() -> dict[str, str]:
         f"sims AS (SELECT doc_id, {_sig_sum} AS simhash FROM votes) "
         "SELECT doc_id, simhash FROM sims "
         "QUALIFY count(*) OVER (PARTITION BY simhash) > 1"
+    )
+
+    # multi-grain rollup: GROUPING SETS + exact decimal sums both engines
+    o["time_rollup"] = (
+        "WITH base AS (SELECT user_id, date_trunc('day', ts) AS ts_day, "
+        "date_trunc('hour', ts) AS ts_hour, value FROM events) "
+        "SELECT user_id, ts_day, ts_hour, "
+        "CASE WHEN GROUPING(ts_hour) = 0 THEN 'hour' "
+        "WHEN GROUPING(ts_day) = 0 THEN 'day' ELSE 'total' END AS grain, "
+        "count(value) AS n, "
+        # VARCHAR-routed casts both directions: Spark's double↔decimal
+        # goes through the shortest decimal string (see
+        # functions/deterministic.py) — direct DuckDB casts differ in
+        # the last ulp
+        "CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18))) "
+        "AS VARCHAR) AS DOUBLE) AS value_sum, "
+        "min(value) AS value_min, max(value) AS value_max "
+        "FROM base GROUP BY GROUPING SETS "
+        "((user_id), (user_id, ts_day), (user_id, ts_day, ts_hour))"
     )
 
     # range join: plain inequality join — DuckDB's optimizer handles the

@@ -49,6 +49,8 @@ HEADLINE = [
     "resample_2h_agg",
     "asof_join",
     "asof_join_salted",
+    "time_rollup",
+    "range_join_events",
     "scale_standard",
     "ordinal_encode",
     "log1p_transform",
@@ -62,8 +64,13 @@ HEADLINE = [
     "spline_basis",
 ]
 
-# transcript volume for the recipe-bake throughput number
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "150000"))
+# transcript volume for the recipe-bake throughput number. 1M convs
+# (~7.5M turns): at the old 150k (~1.1M turns) the ~1.5-2 s of fixed
+# per-job overhead (scheduling, file listing, noop commit) dominated
+# the 2.5-3 s wall, so turns/sec measured startup, not the engine —
+# the same code pushed 1.08M turns/s on local[8] alone at 15M turns
+# (BENCH.md scaling table). Larger input amortizes the constant term.
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1000000"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 

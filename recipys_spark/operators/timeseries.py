@@ -291,3 +291,64 @@ class StepSessionize(Step):
         frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         session = (F.sum(is_new).over(frame) - F.lit(1)).cast("long")
         return df.select("*", session.alias(self.session_col))
+
+
+def time_rollup(
+    df,
+    ts_col: str = "ts",
+    group_cols=("user_id",),
+    grains=("day", "hour"),
+    value_col: str = "value",
+):
+    """Hypertable-style continuous aggregate: one pass emits rollup rows
+    at every time grain — (groups, day, hour), (groups, day), (groups)
+    for the default grains — tagged with a ``grain`` label.
+
+    ONE shuffle via GROUPING SETS (Catalyst expands the sets map-side
+    and partially aggregates before the exchange), instead of one
+    groupBy-and-union per grain re-scanning the fact table: at 100 TB
+    that's the difference between reading the input once and
+    ``len(grains)+1`` times. ``grains`` must be ordered coarse→fine
+    (each finer grain nests inside the previous, the TimescaleDB
+    continuous-aggregate hierarchy). Sums use exact decimal
+    accumulation (functions/deterministic.py) so results are
+    bit-identical at any parallelism.
+    """
+    from recipys_spark.functions.deterministic import det_sum
+
+    group_cols = list(group_cols)
+    grain_cols = [f"{ts_col}_{g}" for g in grains]
+    base = df.select(
+        *group_cols,
+        *[
+            F.date_trunc(g, F.col(ts_col)).alias(c)
+            for g, c in zip(grains, grain_cols)
+        ],
+        value_col,
+    )
+    # coarse→fine prefixes: (groups), (groups, day), (groups, day, hour)
+    sets = [group_cols + grain_cols[:i] for i in range(len(grains) + 1)]
+    v = F.col(value_col)
+    grain_label = F.lit("total")
+    for g, c in zip(grains, grain_cols):
+        grain_label = F.when(F.grouping(c) == 0, F.lit(g)).otherwise(grain_label)
+    return (
+        base.groupingSets(sets, *group_cols, *grain_cols)
+        .agg(
+            # grouping() is only legal inside the grouping-sets agg
+            grain_label.alias("grain"),
+            F.count(v).alias("n"),
+            det_sum(v).cast("double").alias("value_sum"),
+            F.min(v).alias("value_min"),
+            F.max(v).alias("value_max"),
+        )
+        .select(
+            *group_cols,
+            *grain_cols,
+            "grain",
+            "n",
+            "value_sum",
+            "value_min",
+            "value_max",
+        )
+    )

@@ -132,3 +132,50 @@ def test_sessionize_requires_temporal_sequence(spark):
     ).add_step(StepSessionize(gap="30m"))
     with pytest.raises(ValueError):
         rec.prep()
+
+
+def test_time_rollup_grains_match_pandas(spark):
+    """One grouping-sets pass ≡ the three separate pandas groupbys."""
+    import numpy as np
+    import pandas as pd
+
+    from recipys_spark.operators.timeseries import time_rollup
+
+    rs = np.random.RandomState(11)
+    pdf = pd.DataFrame(
+        {
+            "user_id": rs.randint(0, 4, 300),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rs.randint(0, 72 * 3600, 300), unit="s"),
+            "value": rs.normal(size=300).round(3),
+        }
+    )
+    out = time_rollup(
+        spark.createDataFrame(pdf), group_cols=["user_id"]
+    ).toPandas()
+
+    hour = out[out.grain == "hour"]
+    day = out[out.grain == "day"]
+    total = out[out.grain == "total"]
+
+    exp_hour = pdf.groupby(
+        ["user_id", pdf.ts.dt.floor("D"), pdf.ts.dt.floor("h")]
+    ).value.agg(["count", "sum"])
+    assert len(hour) == len(exp_hour)
+    got = {
+        (r.user_id, r.ts_day, r.ts_hour): (r.n, round(r.value_sum, 9))
+        for r in hour.itertuples()
+    }
+    exp = {k: (v["count"], round(v["sum"], 9)) for k, v in exp_hour.iterrows()}
+    assert got == exp
+
+    exp_day = pdf.groupby(["user_id", pdf.ts.dt.floor("D")]).value.sum()
+    assert len(day) == len(exp_day)
+    assert day.ts_hour.isna().all()
+
+    assert len(total) == pdf.user_id.nunique()
+    assert total.ts_day.isna().all() and total.ts_hour.isna().all()
+    # exact decimal sums: rollup levels agree exactly, not approximately
+    assert sorted(total.value_sum.round(9)) == sorted(
+        day.groupby(day.user_id).value_sum.sum().round(9)
+    )
