@@ -672,6 +672,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_clean"] = corpus_clean
 
+    # -- rolling-hash document fingerprinting (winnowing, MOSS): verbatim
+    # substring overlap, the contamination-detection tier MinHash can't see
+    def winnow_fp(s, d):
+        from recipys_spark.operators.fingerprint import winnow_fingerprints
+
+        return winnow_fingerprints(
+            _t(s, d, "documents"), k=8, window=4, hash_family="md5"
+        )
+
+    q["winnow_fingerprint"] = winnow_fp
+
+    def winnow_overlap(s, d):
+        from recipys_spark.operators.fingerprint import winnow_overlap_pairs
+
+        return winnow_overlap_pairs(
+            _t(s, d, "documents"), k=8, window=4, min_shared=2, max_df=100,
+            hash_family="md5",
+        )
+
+    q["winnow_overlap"] = winnow_overlap
+
     # -- text analysis ---------------------------------------------------------
     def text_features(s, d):
         docs = _t(s, d, "documents")
@@ -1222,6 +1243,32 @@ def oracle_sql() -> dict[str, str]:
         f"sims AS (SELECT doc_id, {_sig_sum} AS simhash FROM votes) "
         "SELECT doc_id, simhash FROM sims "
         "QUALIFY count(*) OVER (PARTITION BY simhash) > 1"
+    )
+
+    # winnowing: k-gram rolling-hash fingerprints, window-min selection —
+    # the full relational pipeline replays in DuckDB (md5 60-bit family)
+    _winnow_cte = (
+        "WITH norm AS (SELECT doc_id, "
+        "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents), "
+        "seq AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i "
+        "FROM norm WHERE len(t) >= 8), "
+        "g AS (SELECT doc_id, i - 1 AS pos, "
+        f"{_h15.format(x='substr(t, i, 8)')} AS h FROM seq), "
+        "sel AS (SELECT doc_id, pos, min(h) OVER w AS fp, count(*) OVER w AS n, "
+        "count(*) OVER (PARTITION BY doc_id) AS total FROM g "
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)), "
+        "fps AS (SELECT DISTINCT doc_id, fp FROM sel "
+        "WHERE n = 4 OR (total < 4 AND pos = 0))"
+    )
+    o["winnow_fingerprint"] = _winnow_cte + " SELECT doc_id, fp FROM fps"
+    o["winnow_overlap"] = (
+        _winnow_cte
+        + ", rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100), "
+        "f2 AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared "
+        "FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2 HAVING count(*) >= 2"
     )
 
     # multi-grain rollup: GROUPING SETS + exact decimal sums both engines
