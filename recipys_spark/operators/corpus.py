@@ -37,6 +37,35 @@ from recipys_spark.functions.text import (
 from recipys_spark.operators.dedup import connected_components, minhash_lsh_pairs
 
 
+def annotate_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: Optional[int] = None,
+    min_quality: float = 0.0,
+    langs: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Stage 1 of corpus cleaning: append ``n_tokens`` / ``quality`` /
+    ``lang_id`` audit columns and apply the length/quality/language
+    filters. Pure stateless codegen expressions — evaluated in the scan
+    stage batch-side, and directly streamable (no state, no shuffle)."""
+    c = F.col(text_col)
+    ann = df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        quality_score(c).alias("quality"),
+        lang_guess(c).alias("lang_id"),
+    )
+    cond = F.col("n_tokens") >= F.lit(min_tokens)
+    if max_tokens is not None:
+        cond = cond & (F.col("n_tokens") <= F.lit(max_tokens))
+    if min_quality > 0.0:
+        cond = cond & (F.col("quality") >= F.lit(min_quality))
+    if langs is not None:
+        cond = cond & F.col("lang_id").isin(list(langs))
+    return ann.where(cond)
+
+
 def clean_corpus(
     df: DataFrame,
     text_col: str = "text",
@@ -70,24 +99,11 @@ def clean_corpus(
     only, and the Jaccard verification joins token sets back by doc id
     (see operators/dedup.py minhash_lsh_pairs for the full analysis).
     """
-    c = F.col(text_col)
-    ann = df.select(
-        "*",
-        token_count(c).alias("n_tokens"),
-        quality_score(c).alias("quality"),
-        lang_guess(c).alias("lang_id"),
+    filtered = annotate_filter(
+        df, text_col, min_tokens, max_tokens, min_quality, langs
     )
 
-    cond = F.col("n_tokens") >= F.lit(min_tokens)
-    if max_tokens is not None:
-        cond = cond & (F.col("n_tokens") <= F.lit(max_tokens))
-    if min_quality > 0.0:
-        cond = cond & (F.col("quality") >= F.lit(min_quality))
-    if langs is not None:
-        cond = cond & F.col("lang_id").isin(list(langs))
-    filtered = ann.where(cond)
-
-    w = Window.partitionBy(fingerprint(c)).orderBy(id_col)
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(id_col)
     exact = (
         filtered.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

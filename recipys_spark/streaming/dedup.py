@@ -40,3 +40,30 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")
     )
+
+
+def streaming_clean_corpus(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_tokens: int = 5,
+    max_tokens=None,
+    min_quality: float = 0.0,
+    langs=None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Ingest-edge corpus cleaning: the stateless annotate+filter stage
+    (shared with batch ``clean_corpus`` — identical expressions, so a
+    doc passes the stream filter iff it passes the batch filter)
+    followed by watermark-bounded exact dedup.
+
+    Near-dedup intentionally stays batch: MinHash banding needs
+    corpus-wide buckets, which streaming state can't bound. The
+    production pattern is this stream at the edge plus a periodic batch
+    ``clean_corpus`` compaction over the landed data."""
+    from recipys_spark.operators.corpus import annotate_filter
+
+    filtered = annotate_filter(
+        stream, text_col, min_tokens, max_tokens, min_quality, langs
+    )
+    return streaming_exact_dedup(filtered, text_col, ts_col, watermark)

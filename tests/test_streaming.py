@@ -243,3 +243,58 @@ def test_streaming_exact_dedup_matches_batch_fingerprints(spark, tmp_path_factor
     )
     assert got == sorted(kept_batch.fp)          # same surviving texts
     assert len(out) == 3 and len(set(got)) == 3  # one row per fingerprint
+
+
+def test_streaming_clean_corpus_matches_batch_filter_dedup(spark, tmp_path_factory):
+    """Stream filter+dedup keeps exactly the docs batch
+    clean_corpus(near_dedup=False) keeps (winner row may differ on
+    arrival order; surviving fingerprint sets must coincide)."""
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from recipys_spark.functions.text import fingerprint as fp_expr
+    from recipys_spark.operators.corpus import clean_corpus
+    from recipys_spark.streaming.dedup import streaming_clean_corpus
+
+    t0 = datetime(2024, 1, 1)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",   # keeper
+        "the quick  brown fox jumps over the lazy dog",  # normalized dup
+        "tiny",                                          # fails min_tokens
+        "pack my box with five dozen liquor jugs",       # keeper
+        "!!! ??? ;;; ###",                               # punct soup, low quality
+        "pack my box with five dozen liquor jugs",       # exact dup
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "ts": [t0 + timedelta(minutes=i) for i in range(len(texts))],
+        }
+    )
+    path = str(tmp_path_factory.mktemp("sclean") / "docs")
+    batch = spark.createDataFrame(pdf)
+    batch.write.parquet(path)
+
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    out = _run_stream(
+        spark,
+        streaming_clean_corpus(stream, min_tokens=5, min_quality=0.01),
+        "sclean",
+        "append",
+    ).toPandas()
+    assert {"n_tokens", "quality", "lang_id"} <= set(out.columns)
+    assert len(out) == 2  # two keepers survive filter + dedup
+
+    kept = clean_corpus(
+        spark.read.parquet(path), min_tokens=5, min_quality=0.01,
+        near_dedup=False,
+    )
+    exp = sorted(kept.select(fp_expr(F.col("text")).alias("f")).toPandas().f)
+    got = sorted(
+        spark.createDataFrame(out[["text"]])
+        .select(fp_expr(F.col("text")).alias("f"))
+        .toPandas()
+        .f
+    )
+    assert got == exp and len(got) == 2
