@@ -820,6 +820,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_png_decode"] = media_png_decode
 
+    # REAL audio tier: stdlib WAV (RIFF PCM) decode + physical features
+    # over genuine sine-tone payloads → rows-only (no audio codec in
+    # DuckDB). Columns: duration, RMS, zero-crossing rate.
+    def media_wav_decode(s, d):
+        from recipys_spark.operators.multimodal import (
+            extract_features,
+            synthetic_wavs,
+            wav_decoder,
+        )
+
+        return extract_features(
+            synthetic_wavs(s, n=200), decoder=wav_decoder
+        ).select(
+            "media_id",
+            F.round(F.element_at("features", 1), 6).alias("dur_s"),
+            F.round(F.element_at("features", 2), 6).alias("rms"),
+            F.round(F.element_at("features", 4), 6).alias("zcr"),
+        )
+
+    q["multimodal_wav_decode"] = media_wav_decode
+
     return q
 
 
@@ -1423,5 +1444,6 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # no oracles (UDF decode plumbing — no decoder in DuckDB):
-    # multimodal_features, multimodal_real_decode, multimodal_png_decode
+    # multimodal_features, multimodal_real_decode, multimodal_png_decode,
+    # multimodal_wav_decode
     return o

@@ -78,6 +78,41 @@ def hardware_ceiling(n: int, n4: int, total: int = 160_000_000) -> float:
     return bench(n) / bench(n4)
 
 
+def stage_walls(log_dir: str) -> dict:
+    """Per-stage wall times from the Spark event log (the BASELINE.md
+    protocol's per-stage evidence): {stage name: [count, total wall s]},
+    aggregated over the whole app (warmups + timed runs)."""
+    import glob
+
+    agg: dict = {}
+    # Spark 4 may write one DIRECTORY per app (rolling event logs)
+    paths = [
+        p
+        for p in glob.glob(os.path.join(log_dir, "**", "*"), recursive=True)
+        + glob.glob(os.path.join(log_dir, "*"))
+        if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+    ]
+    for path in set(paths):
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except ValueError:
+                    continue
+                if ev.get("Event") != "SparkListenerStageCompleted":
+                    continue
+                si = ev.get("Stage Info", {})
+                sub = si.get("Submission Time")
+                comp = si.get("Completion Time")
+                if not sub or not comp:
+                    continue
+                name = si.get("Stage Name", "?").split(" at ")[0]
+                a = agg.setdefault(name, [0, 0.0])
+                a[0] += 1
+                a[1] += (comp - sub) / 1000.0
+    return agg
+
+
 def run_once(cores: int, tdir: str, runs: int, with_checksum: bool, parts: int):
     """One session per level: two untimed warmup materializations
     (JIT + page cache), then `runs` timed materializations.
@@ -88,10 +123,22 @@ def run_once(cores: int, tdir: str, runs: int, with_checksum: bool, parts: int):
     partition count with cores instead makes the small level spill
     (4 huge partitions vs 16 small ones) and inflates efficiency past
     1.0 — a measurement artifact, not scaling."""
+    import shutil
+
+    log_dir = f"/tmp/recipys_scaling_eventlog_{cores}"
+    shutil.rmtree(log_dir, ignore_errors=True)
+    os.makedirs(log_dir, exist_ok=True)
     spark = get_spark(
         parallelism=cores,
         app_name=f"recipys_scaling_{cores}",
         shuffle_partitions=parts,
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file:{log_dir}",
+            # plain single-file JSON so stage_walls can parse it
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(tdir)
@@ -106,7 +153,7 @@ def run_once(cores: int, tdir: str, runs: int, with_checksum: bool, parts: int):
         walls.append(time.time() - t0)
     cs = checksum(bake_recipe(df)) if with_checksum else ()
     spark.stop()
-    return walls, n_turns, cs
+    return walls, n_turns, cs, stage_walls(log_dir)
 
 
 def main() -> None:
@@ -128,11 +175,13 @@ def main() -> None:
     parts = args.n * 8  # fixed at BOTH levels: identical physical plan
     results = {}
     checksums = {}
+    stages = {}
     for cores in (args.n, args.n * 4):
-        walls, n_turns, cs = run_once(
+        walls, n_turns, cs, st = run_once(
             cores, tdir, args.runs, with_checksum=True, parts=parts
         )
         checksums[cores] = cs
+        stages[cores] = st
         best = min(walls)  # steady-state wall (host-overcommit noise is one-sided)
         results[cores] = {
             "wall_s": [round(w, 2) for w in walls],
@@ -159,6 +208,24 @@ def main() -> None:
         "bit_identical_across_parallelism": deterministic,
     }
     print(json.dumps(out))
+
+    runs = args.runs
+    by_total = sorted(
+        set(stages[n]) | set(stages[n4]),
+        key=lambda s: -(
+            stages[n].get(s, [0, 0.0])[1] + stages[n4].get(s, [0, 0.0])[1]
+        ),
+    )
+    rows = []
+    for s in by_total[:8]:
+        cn, wn = stages[n].get(s, [0, 0.0])
+        c4, w4 = stages[n4].get(s, [0, 0.0])
+        rows.append(f"| {s} | {cn} × {wn:.1f} s | {c4} × {w4:.1f} s |")
+    stage_table = (
+        f"| stage | local[{n}] (count × total wall) | "
+        f"local[{n4}] (count × total wall) |\n|---|---|---|\n"
+        + "\n".join(rows)
+    )
 
     # preserve every section after the scaling block (skew crossovers,
     # headline suite, vectorized-signature measurements) — this script
@@ -207,6 +274,10 @@ bandwidth — at real cluster scale each executor adds its own memory
 and disks, so local-mode efficiency is a lower bound on cluster
 efficiency for this shuffle-light plan (one window stage per conv
 partition, AQE-coalesced); see SURVEY.md §4 for the shuffle budget.
+
+### Per-stage wall time (Spark event log, whole app = 2 warmups + {runs} timed runs + checksum)
+
+{stage_table}
 """
             + tail
         )

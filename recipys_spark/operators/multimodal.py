@@ -14,9 +14,13 @@ Decode tiers:
   a pure-stdlib decoder (``decode_png``: zlib inflate + the five scanline
   filters unfiltered in numpy) and a matching encoder for fixtures —
   a genuine compressed-codec tier with zero external dependencies.
-- **stubbed**: JPEG/audio/video. Those codecs are not in this
-  container; ``codec_decoder`` routes PNG to the real tier and raises
-  NotImplementedError with wiring instructions for the rest, and
+- **real (audio)**: WAV / RIFF 16-bit PCM via stdlib ``wave``
+  (``decode_wav``) with a 16-dim feature extractor (duration, RMS,
+  peak, zero-crossing rate, spectral band energies) and a fixture
+  encoder + sine-tone generator (``synthetic_wavs``).
+- **stubbed**: JPEG/video. Those codecs are not in this
+  container; ``codec_decoder`` routes PNG/WAV to the real tiers and
+  raises NotImplementedError with wiring instructions for the rest, and
   ``deterministic_fake_decoder`` produces seeded features from the
   payload hash so the plumbing — schema, partitioning, UDF signature,
   batch shape — stays real and tested for those kinds too.
@@ -94,14 +98,16 @@ def deterministic_fake_decoder(payload: bytes) -> np.ndarray:
 
 
 def codec_decoder(payload: bytes) -> np.ndarray:
-    """Compressed-format decode dispatch: PNG is decoded for real
-    (pure stdlib, below); JPEG/audio/video still need external codec
-    libraries not present in this container."""
+    """Format decode dispatch by magic bytes: PNG and WAV (RIFF PCM)
+    are decoded for real (pure stdlib, below); JPEG/video still need
+    external codec libraries not present in this container."""
     if payload and payload[:8] == PNG_MAGIC:
         return png_decoder(payload)
+    if payload and payload[:4] == WAV_MAGIC:
+        return wav_decoder(payload)
     raise NotImplementedError(
-        "JPEG/audio/video decode needs codec libraries not present in this "
-        "container; wire Pillow/torchaudio here and keep the same signature."
+        "JPEG/video decode needs codec libraries not present in this "
+        "container; wire Pillow/torchvision here and keep the same signature."
     )
 
 
@@ -419,6 +425,121 @@ def synthetic_images(spark: SparkSession, n: int = 100, size: int = 16) -> DataF
                             "width": size,
                             "height": size,
                             "duration_ms": 0,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# -- real audio tier: WAV (RIFF PCM), pure stdlib --------------------------
+
+WAV_MAGIC = b"RIFF"
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV from float samples in [-1, 1] (stdlib
+    ``wave`` — fixture-side counterpart of ``decode_wav``)."""
+    import io
+    import wave
+
+    ints = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(ints.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
+    """(float32 mono samples in [-1, 1], sample rate) from a RIFF PCM
+    WAV payload — pure stdlib ``wave`` + numpy, no codec library.
+    Multi-channel audio is downmixed by mean; only the 16-bit PCM
+    width (the overwhelmingly common case) is supported."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        if w.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV is supported")
+        raw = w.readframes(w.getnframes())
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / np.float32(32767.0)
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """FEATURE_DIM deterministic audio features:
+    [duration_s, rms, peak, zero-crossing rate, mean, std, crest,
+    silence_ratio, 8 × normalized rfft band energies]."""
+    x = samples.astype(np.float64)
+    n = max(len(x), 1)
+    rms = float(np.sqrt((x * x).mean())) if len(x) else 0.0
+    peak = float(np.abs(x).max()) if len(x) else 0.0
+    zcr = float((np.diff(np.signbit(x)) != 0).mean()) if len(x) > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x)) if len(x) else np.zeros(1)
+    bands = np.array(
+        [b.sum() for b in np.array_split(spec, 8)], dtype=np.float64
+    )
+    total = bands.sum()
+    bands = bands / total if total > 0 else bands
+    out = np.array(
+        [
+            n / float(rate),
+            rms,
+            peak,
+            zcr,
+            float(x.mean()) if len(x) else 0.0,
+            float(x.std()) if len(x) else 0.0,
+            peak / rms if rms > 0 else 0.0,
+            float((np.abs(x) < 0.01).mean()) if len(x) else 1.0,
+            *bands,
+        ],
+        dtype=np.float32,
+    )
+    assert out.shape == (FEATURE_DIM,)
+    return out
+
+
+def wav_decoder(payload: bytes) -> np.ndarray:
+    """decoder= plug for extract_features: real WAV decode + features."""
+    return audio_features(*decode_wav(payload))
+
+
+def synthetic_wavs(
+    spark: SparkSession, n: int = 100, rate: int = 8000, dur_s: float = 0.5
+) -> DataFrame:
+    """MEDIA_SCHEMA table of REAL RIFF PCM payloads: sine tones at
+    200 + 50·(id mod 20) Hz, amplitude 0.5, generated executor-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            t = np.arange(int(rate * dur_s)) / rate
+            payloads = [
+                encode_wav(
+                    0.5 * np.sin(2 * np.pi * (200 + 50 * (int(mid) % 20)) * t),
+                    rate,
+                )
+                for mid in pdf["id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": "audio/wav",
+                            "width": 0,
+                            "height": 0,
+                            "duration_ms": int(dur_s * 1000),
                         }
                     ]
                     * len(pdf),
