@@ -778,6 +778,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_neardup_lsh"] = neardup_lsh
 
+    # -- int8 embedding quantization: 4× storage/shuffle compression with
+    # a per-element error bound of scale/2; the query reports per-vector
+    # reconstruction stats so the whole quantize→dequantize path hashes
+    def embedding_quantize(s, d):
+        from recipys_spark.operators.similarity import (
+            dequantize_embeddings,
+            quantize_embeddings,
+        )
+
+        emb = _t(s, d, "embeddings")
+        qz = quantize_embeddings(emb)
+        dq = dequantize_embeddings(qz).select(
+            "vec_id", F.col("embedding").alias("__deq")
+        )
+        codes = qz.select(
+            "vec_id",
+            F.aggregate(
+                F.col("embedding"), F.lit(0).cast("long"), lambda a, c: a + c
+            ).alias("sum_codes"),
+            F.round(F.col("embedding_scale"), 6).alias("scale"),
+        )
+        err = F.array_max(
+            F.zip_with(
+                F.col("embedding"), F.col("__deq"),
+                lambda a, b: F.abs(a.cast("double") - b),
+            )
+        )
+        return (
+            emb.join(dq, "vec_id")
+            .select("vec_id", F.round(err, 9).alias("max_err"))
+            .join(codes, "vec_id")
+            .select("vec_id", "scale", "sum_codes", "max_err")
+        )
+
+    q["embedding_quantize"] = embedding_quantize
+
     # -- multimodal plumbing (stubbed decode) → rows-only ---------------------------
     def media_features(s, d):
         return extract_features(synthetic_media(s, n=200)).select(
@@ -1290,6 +1326,23 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared "
         "FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id "
         "GROUP BY 1, 2 HAVING count(*) >= 2"
+    )
+
+    # int8 quantization: codes = floor(x/scale + 0.5) written explicitly
+    # (bare round() tie-breaks differently across engines); identical
+    # double arithmetic in both → hash-match
+    o["embedding_quantize"] = (
+        "WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings), "
+        "m AS (SELECT vec_id, e, "
+        "list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM c) "
+        "SELECT vec_id, round(scale, 6) AS scale, "
+        "CASE WHEN scale > 0 THEN CAST(list_sum(list_transform(e, "
+        "x -> CAST(floor(x / scale + 0.5) AS BIGINT))) AS BIGINT) "
+        "ELSE 0 END AS sum_codes, "
+        "CASE WHEN scale > 0 THEN round(list_max(list_transform(e, "
+        "x -> abs(x - floor(x / scale + 0.5) * scale))), 9) "
+        "ELSE 0.0 END AS max_err "
+        "FROM m"
     )
 
     # multi-grain rollup: GROUPING SETS + exact decimal sums both engines

@@ -379,3 +379,50 @@ def test_bpe_ish_tokens(spark):
     # punctuation-heavy text: BPE basis exceeds the whitespace count
     assert out.n_bpe[0] > out.n_ws[0] and out.n_bpe[1] > out.n_ws[1]
     assert out.n_bpe[2] == out.n_ws[2]
+
+
+def test_quantize_embeddings_roundtrip_and_ranking(spark, embeddings):
+    from recipys_spark.operators.similarity import (
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    qz = quantize_embeddings(embeddings)
+    assert "embedding_scale" in qz.columns
+    codes = qz.toPandas()
+    for row in codes.itertuples():
+        arr = np.array(row.embedding)
+        assert arr.dtype.kind == "i" and np.abs(arr).max() <= 127
+
+    dq = dequantize_embeddings(qz).toPandas().sort_values("vec_id")
+    orig = embeddings.toPandas().sort_values("vec_id")
+    scales = codes.sort_values("vec_id").embedding_scale.to_numpy()
+    for (o, d, s) in zip(orig.embedding, dq.embedding, scales):
+        err = np.abs(np.array(o, dtype=float) - np.array(d))
+        assert err.max() <= s / 2 + 1e-12  # half-up bound
+
+    # int8 quantization must preserve the top-1 neighbor ranking here
+    top_o = cosine_topk(embeddings, embeddings, k=1).toPandas()
+    deq_df = dequantize_embeddings(quantize_embeddings(embeddings))
+    top_q = cosine_topk(deq_df, deq_df, k=1).toPandas()
+    a = dict(zip(top_o.query_id, top_o.neighbor_id))
+    b = dict(zip(top_q.query_id, top_q.neighbor_id))
+    assert sum(a[k] == b[k] for k in a) >= 0.9 * len(a)
+
+
+def test_quantize_embeddings_edge_cases(spark):
+    from recipys_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "embedding": [[0.0, 0.0, 0.0]]})
+    )
+    qz = quantize_embeddings(df).toPandas()
+    assert list(qz.embedding[0]) == [0, 0, 0] and qz.embedding_scale[0] == 0.0
+    dq = dequantize_embeddings(quantize_embeddings(df)).toPandas()
+    assert list(dq.embedding[0]) == [0.0, 0.0, 0.0]
+    with pytest.raises(ValueError, match="bits"):
+        quantize_embeddings(df, bits=1)
