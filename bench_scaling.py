@@ -260,7 +260,7 @@ host-overcommitted VM adds one-sided noise).
 - **scaling efficiency = (throughput@{n4} / throughput@{n}) / 4 =
   {eff:.3f}** (target ≥ 0.8)
 - **hardware ceiling control**: raw-CPU busy loops (no Spark) speed up
-  only {hw:.2f}×/4× between the same two levels on this host-
+  {hw:.2f}×/4× between the same two levels on this host-
   overcommitted VM; the engine achieves {speedup:.2f}× —
   **{speedup / hw:.0%} of what the hardware allows**.
 - result determinism across parallelism: checksums of
