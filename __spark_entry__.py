@@ -731,6 +731,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_token_count"] = bpe_tokens
 
+    # statistical quality tier: per-doc mean unigram log-prob under an
+    # add-1 model fitted on the corpus itself (gibberish scores low)
+    def unigram_lm(s, d):
+        from recipys_spark.operators.textstats import unigram_logprob_scores
+
+        return unigram_logprob_scores(_t(s, d, "documents"))
+
+    q["unigram_logprob"] = unigram_lm
+
     # -- similarity search -------------------------------------------------------
     def ann_brute(s, d):
         emb = _t(s, d, "embeddings")
@@ -1481,6 +1490,27 @@ def oracle_sql() -> dict[str, str]:
         f"{TX.SQL_TOKEN_COUNT.format(c='text')} AS n_ws, "
         f"{TX.SQL_BPE_TOKEN_COUNT.format(c='text')} AS n_bpe "
         "FROM documents"
+    )
+
+    # unigram LM: per-token logp rounded to 9dp BEFORE the exact-decimal
+    # mean (ln differs in the last ulp across libms; rounded operands →
+    # bit-identical sums), sum→double→divide per the det_mean shape
+    o["unigram_logprob"] = (
+        f"WITH tok AS (SELECT doc_id, u.t AS t FROM documents, "
+        f"unnest({_toks}) AS u(t)), "
+        "vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t), "
+        "tot AS (SELECT sum(c) AS n, count(*) AS v FROM vocab), "
+        "lp AS (SELECT t, round(ln((c + 1) / (n + v)), 9) AS logp "
+        "FROM vocab, tot), "
+        "scored AS (SELECT tok.doc_id, "
+        "coalesce(lp.logp, (SELECT round(ln(1.0 / (n + v)), 9) FROM tot)) AS lpv, "
+        "CASE WHEN lp.logp IS NULL THEN 1 ELSE 0 END AS is_oov "
+        "FROM tok LEFT JOIN lp ON tok.t = lp.t) "
+        "SELECT doc_id, count(*) AS n_scored, "
+        "CAST(sum(is_oov) AS BIGINT) AS n_oov, "
+        "round(CAST(CAST(sum(CAST(CAST(lpv AS VARCHAR) AS DECIMAL(38,18))) "
+        "AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_logprob "
+        "FROM scored GROUP BY doc_id"
     )
 
     # near-dup pairs: one full-signature bucket self-join + cosine

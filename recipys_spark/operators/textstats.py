@@ -56,3 +56,77 @@ class StepTextFeatures(Step):
             for f in self.features:
                 exprs.append(builders[f]().alias(f"{c}_{f}"))
         return df.select("*", *exprs)
+
+
+def unigram_logprob_scores(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_df=None,
+    round_dp: int = 9,
+):
+    """Statistical text-quality scoring: per-document mean unigram
+    log-probability under an add-1-smoothed unigram language model.
+
+    Gibberish, wrong-language, and boilerplate-free random text score
+    far below typical corpus text — the classic cheap LM filter a
+    training-data pipeline runs after the heuristic quality_score tier.
+    ``vocab_df`` (a (token, c) count table, e.g. from a trusted
+    reference corpus) enables cross-scoring; by default the model is
+    fitted on ``df`` itself (self-perplexity).
+
+    Returns (id, n_scored, n_oov, avg_logprob); documents with no
+    tokens are absent. Scale shape: one token-count aggregation (only
+    when self-fitting), one broadcastable vocab join (a 10^7-type
+    vocabulary is ~100 MB — below the broadcast threshold with AQE;
+    bigger vocabularies degrade to a sort-merge join on the token),
+    one per-doc aggregation. Per-token log-probs are rounded to
+    ``round_dp`` BEFORE the exact-decimal mean so the result is
+    bit-identical across engines and parallelism (ln differs in the
+    last ulp between libms; the decimal sum of rounded operands does
+    not)."""
+    from pyspark.sql import functions as F
+
+    from recipys_spark.functions.deterministic import det_sum
+
+    toks = df.select(
+        F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("t")
+    )
+    vocab = (
+        vocab_df
+        if vocab_df is not None
+        else toks.groupBy("t").agg(F.count("*").alias("c"))
+    )
+    tot = vocab.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    lp = (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            F.round(
+                F.log((F.col("c") + 1) / (F.col("n") + F.col("v"))), round_dp
+            ).alias("logp"),
+        )
+    )
+    oov = tot.select(
+        F.round(F.log(1.0 / (F.col("n") + F.col("v"))), round_dp).alias("oov_logp")
+    )
+    scored = (
+        toks.join(F.broadcast(lp), "t", "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            id_col,
+            F.coalesce("logp", "oov_logp").alias("lp"),
+            F.col("logp").isNull().cast("int").alias("is_oov"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_scored"),
+        F.sum("is_oov").alias("n_oov"),
+        # exact decimal sum → double, THEN divide (the det_mean shape —
+        # decimal/long division has different scale rules per engine)
+        F.round(
+            det_sum(F.col("lp")).cast("double") / F.count("*"), 6
+        ).alias("avg_logprob"),
+    )

@@ -426,3 +426,29 @@ def test_quantize_embeddings_edge_cases(spark):
     assert list(dq.embedding[0]) == [0.0, 0.0, 0.0]
     with pytest.raises(ValueError, match="bits"):
         quantize_embeddings(df, bits=1)
+
+
+def test_unigram_logprob_separates_gibberish(spark):
+    from recipys_spark.operators.textstats import unigram_logprob_scores
+
+    typical = ["the cat sat on the mat and the dog sat too"] * 6
+    texts = typical + ["zxqv kjwr qpmd vbnx wyutr plok"]  # all-OOV-ish tokens
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    out = unigram_logprob_scores(df).toPandas().set_index("doc_id")
+    # gibberish (every token unique in the corpus) scores well below
+    # the repeated typical docs
+    assert out.avg_logprob[6] < out.avg_logprob[0] - 1.0
+    assert (out.n_oov == 0).all()  # self-fitted: every token is in-vocab
+
+    # cross-scoring against a vocab that has never seen the gibberish:
+    # those tokens are OOV and get the floor probability
+    vocab = (
+        df.where("doc_id < 6")
+        .selectExpr("explode(split(trim(lower(text)), '\\\\s+')) t")
+        .groupBy("t").count().withColumnRenamed("count", "c")
+    )
+    cross = unigram_logprob_scores(df, vocab_df=vocab).toPandas().set_index("doc_id")
+    assert cross.n_oov[6] == 6 and cross.n_oov[0] == 0
+    assert cross.avg_logprob[6] < out.avg_logprob[6]
