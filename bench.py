@@ -60,7 +60,9 @@ HEADLINE = [
     "corpus_clean",
     "text_features",
     "token_histogram",
+    "unigram_logprob",
     "ann_cosine_topk",
+    "embedding_quantize",
     "spline_basis",
 ]
 
