@@ -74,6 +74,8 @@ def clean_corpus(
     max_tokens: Optional[int] = None,
     min_quality: float = 0.0,
     langs: Optional[Sequence[str]] = None,
+    min_logprob: Optional[float] = None,
+    lm_vocab: Optional[DataFrame] = None,
     near_dedup: bool = True,
     num_hashes: int = 32,
     bands: int = 4,
@@ -102,6 +104,23 @@ def clean_corpus(
     filtered = annotate_filter(
         df, text_col, min_tokens, max_tokens, min_quality, langs
     )
+
+    if min_logprob is not None:
+        # statistical tier AFTER the heuristic filters: mean unigram
+        # log-prob under an add-1 model — self-fitted on the heuristic
+        # survivors, or cross-scored against a trusted ``lm_vocab``
+        # (token, c) table. Joined back by id (broadcast-sized scores
+        # side only when the corpus is small — Catalyst/AQE decides).
+        from recipys_spark.operators.textstats import unigram_logprob_scores
+
+        scores = unigram_logprob_scores(
+            filtered, text_col=text_col, id_col=id_col, vocab_df=lm_vocab
+        ).select(id_col, "avg_logprob")
+        filtered = (
+            filtered.join(scores, id_col, "left")
+            .where(F.col("avg_logprob") >= F.lit(min_logprob))
+            .drop("avg_logprob")
+        )
 
     w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(id_col)
     exact = (

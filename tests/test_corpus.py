@@ -66,3 +66,29 @@ def test_clean_corpus_lang_and_quality_knobs(spark, corpus):
     assert 0 in _ids(clean_corpus(corpus, min_tokens=1, langs=["en"],
                                   bands=16, threshold=0.6))
     assert _ids(clean_corpus(corpus, min_tokens=1, langs=["fr"])) == set()
+
+
+def test_clean_corpus_lm_filter(spark):
+    """min_logprob drops statistical outliers (gibberish) that pass the
+    heuristic filters; cross-scoring flags them even harder."""
+    typical = [
+        f"the cat sat on the mat and the dog sat there too number {i}"
+        for i in range(8)
+    ]
+    gibberish = "zxqv kjwr qpmd vbnx wyutr plok mnbv rtyu"
+    pdf = pd.DataFrame(
+        {"doc_id": range(9), "text": typical + [gibberish]}
+    )
+    df = spark.createDataFrame(pdf)
+    # without the LM tier, gibberish passes the token-count filter
+    assert 8 in _ids(clean_corpus(df, min_tokens=5, near_dedup=False))
+    # self-fitted LM: gibberish's every token is corpus-unique → low logp
+    from recipys_spark.operators.textstats import unigram_logprob_scores
+
+    cutoff = float(
+        unigram_logprob_scores(df).toPandas().avg_logprob.sort_values().iloc[1]
+    )  # above only the gibberish doc
+    out = _ids(
+        clean_corpus(df, min_tokens=5, min_logprob=cutoff, near_dedup=False)
+    )
+    assert 8 not in out and 0 in out
