@@ -25,16 +25,15 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from recipys_spark.functions.text import (
-    fingerprint,
-    lang_guess,
-    quality_score,
-    token_count,
+from recipys_spark.functions.text import lang_guess, quality_score, token_count
+from recipys_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_lsh_pairs,
 )
-from recipys_spark.operators.dedup import connected_components, minhash_lsh_pairs
 
 
 def annotate_filter(
@@ -122,12 +121,7 @@ def clean_corpus(
             .drop("avg_logprob")
         )
 
-    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(id_col)
-    exact = (
-        filtered.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    exact = exact_dedup(filtered, text_col=text_col, id_col=id_col)
 
     if not near_dedup:
         return exact

@@ -31,8 +31,15 @@ from recipys_spark.functions.text import char_shingles, fingerprint, simhash32, 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep one row (min id) per distinct normalized text."""
-    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(id_col)
+    """Keep one row (min id) per distinct normalized text.
+
+    NULL texts all survive: a null fingerprint means "unknown", not
+    "equal to every other null" (window partitioning would otherwise
+    group all NULL keys together and collapse them to one row — the
+    same null-key trap as the median join-back, ADVICE r02)."""
+    fp = fingerprint(F.col(text_col))
+    null_escape = F.when(fp.isNull(), F.col(id_col))
+    w = Window.partitionBy(fp, null_escape).orderBy(id_col)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

@@ -92,3 +92,17 @@ def test_clean_corpus_lm_filter(spark):
         clean_corpus(df, min_tokens=5, min_logprob=cutoff, near_dedup=False)
     )
     assert 8 not in out and 0 in out
+
+
+def test_null_texts_are_not_duplicates_of_each_other(spark):
+    """A NULL text is 'unknown', not equal to other NULLs: exact_dedup
+    keeps every null-text row (the null-key window-partition trap)."""
+    from recipys_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1, 2, 3], "text": ["same text", "same text", None, None]}
+        )
+    )
+    kept = _ids(exact_dedup(df))
+    assert kept == {0, 2, 3}
