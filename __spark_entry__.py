@@ -740,6 +740,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unigram_logprob"] = unigram_lm
 
+    # Gopher-style repetition/quality signal suite (Rae et al. 2021)
+    def gopher(s, d):
+        from recipys_spark.operators.textstats import gopher_signals
+
+        return gopher_signals(_t(s, d, "documents"))
+
+    q["gopher_signals"] = gopher
+
     # -- similarity search -------------------------------------------------------
     def ann_brute(s, d):
         emb = _t(s, d, "embeddings")
@@ -1490,6 +1498,37 @@ def oracle_sql() -> dict[str, str]:
         f"{TX.SQL_TOKEN_COUNT.format(c='text')} AS n_ws, "
         f"{TX.SQL_BPE_TOKEN_COUNT.format(c='text')} AS n_bpe "
         "FROM documents"
+    )
+
+    # Gopher signals: same list-lambda computations over words/lines
+    _gop_ratio = "round(CASE WHEN {d} > 0 THEN CAST({n} AS DOUBLE) / {d} END, 6)"
+    o["gopher_signals"] = (
+        f"WITH base AS (SELECT doc_id, text, {_toks} AS toks, "
+        "list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) "
+        "AS lines FROM documents), "
+        "m AS (SELECT doc_id, len(toks) AS nw, "
+        "list_sum(list_transform(toks, t -> len(t))) AS sumlen, "
+        "len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS nalpha, "
+        "length(text) - length(replace(text, '#', '')) "
+        "+ length(text) - length(replace(text, '…', '')) AS nsym, "
+        "len(lines) AS nl, "
+        "len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•] '))) AS nbul, "
+        "len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) "
+        "AS nelll, "
+        "len(lines) - len(list_distinct(lines)) AS ndup, "
+        "list_sum(list_transform(lines, x -> length(x))) AS lchars, "
+        "list_sum(list_transform(lines, x -> CASE WHEN "
+        "len(list_filter(lines, y -> y = x)) > 1 THEN length(x) ELSE 0 END)) "
+        "AS dchars FROM base) "
+        "SELECT doc_id, nw AS n_words, "
+        + _gop_ratio.format(n="sumlen", d="nw") + " AS mean_word_len, "
+        + _gop_ratio.format(n="nsym", d="nw") + " AS symbol_word_ratio, "
+        + _gop_ratio.format(n="nalpha", d="nw") + " AS alpha_word_frac, "
+        + _gop_ratio.format(n="nbul", d="nl") + " AS bullet_line_frac, "
+        + _gop_ratio.format(n="nelll", d="nl") + " AS ellipsis_line_frac, "
+        + _gop_ratio.format(n="ndup", d="nl") + " AS dup_line_frac, "
+        + _gop_ratio.format(n="dchars", d="lchars") + " AS dup_line_char_frac "
+        "FROM m"
     )
 
     # unigram LM: per-token logp rounded to 9dp BEFORE the exact-decimal

@@ -130,3 +130,70 @@ def unigram_logprob_scores(
             det_sum(F.col("lp")).cast("double") / F.count("*"), 6
         ).alias("avg_logprob"),
     )
+
+
+def gopher_signals(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition / quality signals in the style of the
+    Gopher data-curation rules (Rae et al. 2021, arXiv 2112.11446,
+    table A1): the standard pre-training filter suite beyond simple
+    token counts.
+
+    All pure JVM expressions with exact DuckDB mirrors:
+
+    - ``n_words``, ``mean_word_len`` — whitespace words;
+    - ``symbol_word_ratio`` — '#' and '…' occurrences per word
+      (boilerplate/markup smell);
+    - ``alpha_word_frac`` — words containing ≥1 ASCII letter;
+    - ``bullet_line_frac`` / ``ellipsis_line_frac`` — of non-empty
+      lines (listicle / truncation smells);
+    - ``dup_line_frac`` — duplicated non-empty lines / lines;
+    - ``dup_line_char_frac`` — characters inside lines that occur more
+      than once / total line characters. NOTE: computed with a
+      per-line membership scan (O(lines²) interpreted HOF per doc) —
+      fine for typical documents (≪10³ lines); route pathological
+      inputs through a pandas_udf if a corpus has megascale line
+      counts.
+
+    Ratios are NULL when the denominator is 0 (no words / no lines).
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col)
+    toks = TX.tokens(c)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
+
+    lines = F.filter(
+        F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•] ")))
+    n_ell_line = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    dup_chars = F.aggregate(
+        lines,
+        F.lit(0),
+        lambda a, x: a
+        + F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(0),
+    )
+
+    def ratio(num, den):
+        return F.round(F.when(den > 0, num.cast("double") / den), 6)
+
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        ratio(sum_len, n_words).alias("mean_word_len"),
+        ratio(n_hash + n_ell, n_words).alias("symbol_word_ratio"),
+        ratio(n_alpha, n_words).alias("alpha_word_frac"),
+        ratio(n_bullet, n_lines).alias("bullet_line_frac"),
+        ratio(n_ell_line, n_lines).alias("ellipsis_line_frac"),
+        ratio(n_dup_lines, n_lines).alias("dup_line_frac"),
+        ratio(dup_chars, line_chars).alias("dup_line_char_frac"),
+    )

@@ -33,9 +33,15 @@ def streaming_exact_dedup(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Drop exact-duplicate documents (normalized-text fingerprint)
-    from a stream, with state bounded by the watermark horizon."""
+    from a stream, with state bounded by the watermark horizon.
+
+    NULL texts all pass through: dropDuplicates treats NULL keys as
+    equal, so a null fingerprint is escaped to a per-row unique key
+    (same "null means unknown, not equal" rule as batch exact_dedup)."""
+    fp = fingerprint(F.col(text_col))
+    key = F.coalesce(fp, F.concat(F.lit("\x00null:"), F.expr("uuid()")))
     return (
-        stream.withColumn("__fp", fingerprint(F.col(text_col)))
+        stream.withColumn("__fp", key)
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")

@@ -452,3 +452,51 @@ def test_unigram_logprob_separates_gibberish(spark):
     cross = unigram_logprob_scores(df, vocab_df=vocab).toPandas().set_index("doc_id")
     assert cross.n_oov[6] == 6 and cross.n_oov[0] == 0
     assert cross.avg_logprob[6] < out.avg_logprob[6]
+
+
+def test_gopher_signals_hand_checked(spark):
+    from recipys_spark.operators.textstats import gopher_signals
+
+    text = (
+        "one two three\n"
+        "- bullet item\n"
+        "- bullet item\n"
+        "plain line...\n"
+        "\n"
+        "   \n"
+        "### markup…"
+    )
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    row = gopher_signals(df).toPandas().iloc[0]
+
+    import re
+    toks = re.split(r"\s+", text.strip().lower())
+    lines = [l for l in text.split("\n") if l.strip()]
+    assert row.n_words == len(toks)
+    assert row.mean_word_len == round(sum(map(len, toks)) / len(toks), 6)
+    assert row.symbol_word_ratio == round(
+        (text.count("#") + text.count("…")) / len(toks), 6
+    )
+    assert row.alpha_word_frac == round(
+        sum(1 for t in toks if re.search("[A-Za-z]", t)) / len(toks), 6
+    )
+    assert row.bullet_line_frac == round(2 / len(lines), 6)
+    assert row.ellipsis_line_frac == round(2 / len(lines), 6)  # "..." and "…"
+    assert row.dup_line_frac == round(1 / len(lines), 6)
+    dup_chars = sum(len(l) for l in lines if lines.count(l) > 1)
+    assert row.dup_line_char_frac == round(
+        dup_chars / sum(map(len, lines)), 6
+    )
+
+
+def test_gopher_signals_flag_repetitive_doc(spark):
+    from recipys_spark.operators.textstats import gopher_signals
+
+    clean = "\n".join(f"a perfectly normal unique line number {i}" for i in range(10))
+    spam = "\n".join(["buy cheap stuff now"] * 10)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": [clean, spam]})
+    )
+    out = gopher_signals(df).toPandas().set_index("doc_id")
+    assert out.dup_line_frac[0] == 0.0 and out.dup_line_char_frac[0] == 0.0
+    assert out.dup_line_frac[1] == 0.9 and out.dup_line_char_frac[1] == 1.0

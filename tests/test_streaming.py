@@ -298,3 +298,30 @@ def test_streaming_clean_corpus_matches_batch_filter_dedup(spark, tmp_path_facto
         .f
     )
     assert got == exp and len(got) == 2
+
+
+def test_streaming_dedup_null_texts_all_pass(spark, tmp_path_factory):
+    """NULL texts are unknown, not duplicates: every null-text row
+    flows through streaming dedup (batch exact_dedup rule)."""
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from recipys_spark.streaming.dedup import streaming_exact_dedup
+
+    t0 = datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["dup me", "dup me", None, None],
+            "ts": [t0 + timedelta(minutes=i) for i in range(4)],
+        }
+    )
+    path = str(tmp_path_factory.mktemp("snull") / "docs")
+    batch = spark.createDataFrame(pdf)
+    batch.write.parquet(path)
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    out = _run_stream(
+        spark, streaming_exact_dedup(stream), "snull", "append"
+    ).toPandas()
+    assert len(out) == 3  # one "dup me" + both nulls
+    assert out.text.isna().sum() == 2
