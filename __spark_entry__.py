@@ -748,6 +748,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_signals"] = gopher
 
+    # PII redaction + in-document line dedup over deterministic
+    # PII-laced text constructed from events (the testdata documents
+    # contain no PII, so the query builds its own — identically in
+    # both engines)
+    def text_scrub(s, d):
+        ev = _t(s, d, "events")
+        pii = F.concat(
+            F.lit("contact user"),
+            F.col("user_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("event_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("user_id") % 256).cast("string"),
+            F.lit(" phone +1 555 123 4567 ref "),
+            F.col("event_type"),
+        )
+        rep = F.concat(
+            F.col("event_type"),
+            F.lit("\n"),
+            F.col("event_type"),
+            F.lit("\nid "),
+            F.col("event_id").cast("string"),
+        )
+        return ev.select(
+            "event_id",
+            TX.scrub_pii(pii).alias("scrubbed"),
+            TX.dedupe_lines(rep).alias("line_deduped"),
+        )
+
+    q["text_scrub"] = text_scrub
+
     # -- similarity search -------------------------------------------------------
     def ann_brute(s, d):
         emb = _t(s, d, "embeddings")
@@ -1498,6 +1529,24 @@ def oracle_sql() -> dict[str, str]:
         f"{TX.SQL_TOKEN_COUNT.format(c='text')} AS n_ws, "
         f"{TX.SQL_BPE_TOKEN_COUNT.format(c='text')} AS n_bpe "
         "FROM documents"
+    )
+
+    # PII scrub + order-preserving line dedup on engine-built text
+    _pii_raw = (
+        "concat('contact user', CAST(user_id AS VARCHAR), "
+        "'@example.com or 10.0.', CAST(event_id % 256 AS VARCHAR), '.', "
+        "CAST(user_id % 256 AS VARCHAR), ' phone +1 555 123 4567 ref ', "
+        "event_type)"
+    )
+    _rep_raw = (
+        "concat(event_type, chr(10), event_type, chr(10), 'id ', "
+        "CAST(event_id AS VARCHAR))"
+    )
+    o["text_scrub"] = (
+        "SELECT event_id, "
+        f"{TX.sql_scrub_pii(_pii_raw)} AS scrubbed, "
+        f"{TX.sql_dedupe_lines(_rep_raw)} AS line_deduped "
+        "FROM events"
     )
 
     # Gopher signals: same list-lambda computations over words/lines

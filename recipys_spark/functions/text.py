@@ -236,3 +236,53 @@ def sql_lang_guess(c: str) -> str:
 
 
 SQL_FINGERPRINT = "md5(trim(regexp_replace(lower({c}), '\\s+', ' ', 'g')))"
+
+
+# -- PII scrubbing (training-data redaction) -------------------------------
+
+#: RE2-compatible (no lookaround/backrefs) so the Java and DuckDB
+#: engines match byte-for-byte. Order matters when masking: emails
+#: before phones (addresses contain digits), IPs before phones.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+#: deliberately conservative: 9+ digits with common separators, so
+#: ordinary numbers ("version 2", "year 2024") never match
+PII_PHONE = r"\+?\d[\d().\- ]{7,}\d\b"
+
+
+def scrub_pii(col) -> "F.Column":
+    """Mask emails, IPv4 addresses, and phone-like digit runs with
+    typed placeholder tokens — the standard redaction pass before
+    training-corpus publication. Pure JVM regexp_replace chain."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+def sql_scrub_pii(c: str) -> str:
+    def esc(p):
+        return p.replace("\\", "\\").replace("'", "''")
+
+    return (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"{c}, '{esc(PII_EMAIL)}', '<EMAIL>', 'g'), "
+        f"'{esc(PII_IPV4)}', '<IP>', 'g'), "
+        f"'{esc(PII_PHONE)}', '<PHONE>', 'g')"
+    )
+
+
+def dedupe_lines(col) -> "F.Column":
+    """Remove repeated lines within a document, keeping first
+    occurrences in order (array_distinct is order-stable) — the cheap
+    in-document boilerplate strip that whole-corpus dedup can't do."""
+    return F.array_join(F.array_distinct(F.split(col, "\n")), "\n")
+
+
+def sql_dedupe_lines(c: str) -> str:
+    # DuckDB list_distinct is NOT order-preserving; keep each line only
+    # at its first-occurrence index (two-arg lambda, 1-based)
+    ls = f"string_split({c}, chr(10))"
+    return (
+        f"array_to_string(list_filter({ls}, "
+        f"(x, i) -> list_position({ls}, x) = i), chr(10))"
+    )

@@ -500,3 +500,33 @@ def test_gopher_signals_flag_repetitive_doc(spark):
     out = gopher_signals(df).toPandas().set_index("doc_id")
     assert out.dup_line_frac[0] == 0.0 and out.dup_line_char_frac[0] == 0.0
     assert out.dup_line_frac[1] == 0.9 and out.dup_line_char_frac[1] == 1.0
+
+
+def test_scrub_pii_and_dedupe_lines(spark):
+    from recipys_spark.functions.text import dedupe_lines, scrub_pii
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail bob.smith+x@corp.example.org now",
+                "server at 192.168.1.100 called +44 20 7946 0958 twice",
+                "version 2 of year 2024 has no pii at all",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = df.select("doc_id", scrub_pii(df.text).alias("t")).orderBy(
+        "doc_id"
+    ).toPandas()
+    assert out.t[0] == "mail <EMAIL> now"
+    assert out.t[1] == "server at <IP> called <PHONE> twice"
+    assert out.t[2] == pdf.text[2]  # conservative: plain numbers untouched
+
+    rep = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0], "text": ["b line\na line\nb line\nc line\na line"]}
+        )
+    )
+    got = rep.select(dedupe_lines(rep.text).alias("t")).toPandas().t[0]
+    assert got == "b line\na line\nc line"  # first-occurrence order kept
