@@ -132,6 +132,49 @@ def unigram_logprob_scores(
     )
 
 
+def gopher_exprs(c) -> "dict":
+    """The Gopher signal expressions over one string column — shared by
+    the table-level ``gopher_signals`` and the recipe-step
+    ``StepGopherSignals``."""
+    toks = TX.tokens(c)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = F.length(c) - F.length(F.replace(c, F.lit("\u2026"), F.lit("")))
+
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*\u2022] ")))
+    n_ell_line = F.size(
+        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|\u2026)\s*$"))
+    )
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    dup_chars = F.aggregate(
+        lines,
+        F.lit(0),
+        lambda a, x: a
+        + F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(0),
+    )
+
+    def ratio(num, den):
+        return F.round(F.when(den > 0, num.cast("double") / den), 6)
+
+    return {
+        "n_words": n_words,
+        "mean_word_len": ratio(sum_len, n_words),
+        "symbol_word_ratio": ratio(n_hash + n_ell, n_words),
+        "alpha_word_frac": ratio(n_alpha, n_words),
+        "bullet_line_frac": ratio(n_bullet, n_lines),
+        "ellipsis_line_frac": ratio(n_ell_line, n_lines),
+        "dup_line_frac": ratio(n_dup_lines, n_lines),
+        "dup_line_char_frac": ratio(dup_chars, line_chars),
+    }
+
+
 def gopher_signals(df, text_col: str = "text", id_col: str = "doc_id"):
     """Per-document repetition / quality signals in the style of the
     Gopher data-curation rules (Rae et al. 2021, arXiv 2112.11446,
@@ -156,44 +199,51 @@ def gopher_signals(df, text_col: str = "text", id_col: str = "doc_id"):
 
     Ratios are NULL when the denominator is 0 (no words / no lines).
     """
-    from pyspark.sql import functions as F
-
-    c = F.col(text_col)
-    toks = TX.tokens(c)
-    n_words = F.size(toks)
-    sum_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
-    n_ell = F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
-
-    lines = F.filter(
-        F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0
-    )
-    n_lines = F.size(lines)
-    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•] ")))
-    n_ell_line = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
-    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
-    line_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
-    dup_chars = F.aggregate(
-        lines,
-        F.lit(0),
-        lambda a, x: a
-        + F.when(
-            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
-        ).otherwise(0),
-    )
-
-    def ratio(num, den):
-        return F.round(F.when(den > 0, num.cast("double") / den), 6)
-
+    exprs = gopher_exprs(F.col(text_col))
     return df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        ratio(sum_len, n_words).alias("mean_word_len"),
-        ratio(n_hash + n_ell, n_words).alias("symbol_word_ratio"),
-        ratio(n_alpha, n_words).alias("alpha_word_frac"),
-        ratio(n_bullet, n_lines).alias("bullet_line_frac"),
-        ratio(n_ell_line, n_lines).alias("ellipsis_line_frac"),
-        ratio(n_dup_lines, n_lines).alias("dup_line_frac"),
-        ratio(dup_chars, line_chars).alias("dup_line_char_frac"),
+        F.col(id_col), *[e.alias(name) for name, e in exprs.items()]
     )
+
+
+
+class StepGopherSignals(Step):
+    """Recipe-step form of ``gopher_signals``: appends the repetition /
+    quality signal columns ``{c}_gopher_{signal}`` for every selected
+    string column — stateless, pure expressions, fuses into the scan
+    projection like StepTextFeatures."""
+
+    _uses_groups = False
+    _uses_sequence = False
+
+    def __init__(self, sel=None, role: str = "predictor") -> None:
+        from recipys_spark.selector import has_type
+
+        super().__init__(sel if sel is not None else has_type("string"))
+        self.role = role
+        self.desc = "Gopher quality signals"
+
+    SIGNALS = (
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "alpha_word_frac",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "dup_line_frac",
+        "dup_line_char_frac",
+    )
+
+    def new_column_roles(self) -> dict:
+        return {
+            f"{c}_gopher_{sig}": self.role
+            for c in self.columns
+            for sig in self.SIGNALS
+        }
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        exprs = []
+        for c in self.columns:
+            for name, e in gopher_exprs(F.col(c)).items():
+                exprs.append(e.alias(f"{c}_gopher_{name}"))
+        return df.select("*", *exprs)

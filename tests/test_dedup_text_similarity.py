@@ -530,3 +530,23 @@ def test_scrub_pii_and_dedupe_lines(spark):
     )
     got = rep.select(dedupe_lines(rep.text).alias("t")).toPandas().t[0]
     assert got == "b line\na line\nc line"  # first-occurrence order kept
+
+
+def test_step_gopher_signals_in_recipe(spark, docs):
+    from recipys_spark.operators.textstats import (
+        StepGopherSignals,
+        gopher_signals,
+    )
+
+    rec = Recipe(docs, predictors=["text"]).add_step(
+        StepGopherSignals(sel=all_of(["text"]))
+    )
+    out = rec.prep().orderBy("doc_id").toPandas()
+    fn = gopher_signals(docs).orderBy("doc_id").toPandas()
+    for sig in StepGopherSignals.SIGNALS:
+        assert (
+            out[f"text_gopher_{sig}"].fillna(-1).tolist()
+            == fn[sig].fillna(-1).tolist()
+        ), sig
+    # roles recorded for downstream selectors
+    assert "text_gopher_dup_line_frac" in out.columns
