@@ -40,6 +40,35 @@ from recipys_spark.operators.mathtrans import (
 )
 from recipys_spark.operators.sklearn_compat import StepSklearn
 
+# LLM-data-pipeline tier (table-level transforms)
+from recipys_spark.operators.corpus import annotate_filter, clean_corpus
+from recipys_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    simhash_clusters,
+)
+from recipys_spark.operators.fingerprint import (
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
+from recipys_spark.operators.rangejoin import range_join
+from recipys_spark.operators.similarity import (
+    cosine_topk,
+    dequantize_embeddings,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+    quantize_embeddings,
+)
+from recipys_spark.operators.textstats import (
+    StepGopherSignals,
+    StepTextFeatures,
+    gopher_signals,
+    unigram_logprob_scores,
+)
+from recipys_spark.operators.timeseries import time_rollup
+
 __all__ = [
     "Accumulator",
     "Step",
@@ -73,5 +102,25 @@ __all__ = [
     "StepSessionize",
     "StepSklearn",
     "StepSpline",
+    "StepGopherSignals",
+    "StepTextFeatures",
+    "annotate_filter",
     "asof_join",
+    "clean_corpus",
+    "cosine_topk",
+    "dequantize_embeddings",
+    "exact_dedup",
+    "gopher_signals",
+    "ivf_cosine_topk",
+    "jaccard_pairs",
+    "lsh_cosine_topk",
+    "minhash_dedup",
+    "minhash_lsh_pairs",
+    "quantize_embeddings",
+    "range_join",
+    "simhash_clusters",
+    "time_rollup",
+    "unigram_logprob_scores",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
 ]
