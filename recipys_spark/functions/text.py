@@ -148,7 +148,11 @@ def simhash32_udf(hash_family: str = "xxhash64"):
     elif hash_family != "xxhash64":
         raise ValueError("hash_family must be 'xxhash64' or 'md5'")
 
-    ws = re.compile(r"\s+")
+    # mirror tokens() EXACTLY: Spark trim strips ' ' ONLY (SQL TRIM,
+    # not Java String.trim), and Java regex \s is ASCII — Python's
+    # unicode \s / str.strip() diverge on tab-padded or NBSP text,
+    # silently breaking bit-parity with the expression form
+    ws = re.compile(r"\s+", re.ASCII)
     shifts = np.arange(32, dtype=np.int64)
     bitvals = (np.int64(1) << shifts)
 
@@ -160,7 +164,7 @@ def simhash32_udf(hash_family: str = "xxhash64"):
                 # the expression form's when(...).otherwise(0) absorbs
                 # the null bit-sums, so NULL text hashes to 0 — mirror it
                 continue
-            toks = dict.fromkeys(ws.split(txt.strip().lower()))  # distinct, ordered
+            toks = dict.fromkeys(ws.split(txt.lower().strip(" ")))  # distinct, ordered
             h = np.fromiter(
                 (hash_token(t) for t in toks), dtype=np.int64, count=len(toks)
             )
@@ -245,9 +249,14 @@ SQL_FINGERPRINT = "md5(trim(regexp_replace(lower({c}), '\\s+', ' ', 'g')))"
 #: before phones (addresses contain digits), IPs before phones.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-#: deliberately conservative: 9+ digits with common separators, so
-#: ordinary numbers ("version 2", "year 2024") never match
-PII_PHONE = r"\+?\d[\d().\- ]{7,}\d\b"
+#: deliberately conservative: only +international or parenthesized
+#: forms ("+1 555 123 4567", "(020) 7946 0958"). A separator class
+#: including '.' or matching bare digit runs redacts ISO dates
+#: ("2024-01-02"), decimals ("3.14159265") and adjacent plain numbers —
+#: lookahead-free regex cannot count digits across groups, so the safe
+#: trade is low false-positives; add locale-specific patterns for bare
+#: national formats ("555-123-4567") where the corpus warrants it.
+PII_PHONE = r"(\+\d|\(\d)[\d() \-]{6,}\d\b"
 
 
 def scrub_pii(col) -> "F.Column":
@@ -260,8 +269,10 @@ def scrub_pii(col) -> "F.Column":
 
 
 def sql_scrub_pii(c: str) -> str:
+    # backslashes need no escaping in DuckDB single-quoted strings;
+    # only quotes are doubled
     def esc(p):
-        return p.replace("\\", "\\").replace("'", "''")
+        return p.replace("'", "''")
 
     return (
         "regexp_replace(regexp_replace(regexp_replace("

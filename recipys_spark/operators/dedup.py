@@ -186,12 +186,19 @@ def minhash_signature_udf(
     idx = np.arange(num_hashes, dtype=np.int64)
     # per-token signature rows, memoized in the closure: vocabularies
     # are zipfian, so each worker hashes the head of the distribution
-    # once across all Arrow batches
+    # once across all Arrow batches. BOUNDED (same 2^20 budget as the
+    # lru_cache'd token hashes): an unbounded dict over a web-scale
+    # vocabulary's long tail would grow a long-lived worker to OOM.
+    MEMO_MAX = 1 << 20
     memo: dict = {}
 
     def _tok_row(t: str) -> "np.ndarray":
         r = memo.get(t)
         if r is None:
+            if len(memo) >= MEMO_MAX:
+                # zipfian head re-warms in a few batches; a full clear
+                # beats per-entry LRU bookkeeping in the hot loop
+                memo.clear()
             if hash_family == "md5":
                 a, b = hash_token_md5_pair(t)
                 r = (a % KM_PRIME + idx * (b % KM_PRIME)) % KM_PRIME
@@ -462,7 +469,12 @@ def simhash_clusters(
         sig = simhash32_udf(hash_family)(F.col(text_col))
     else:
         sig = simhash32(F.col(text_col), hash_family)
-    sims = df.select(F.col(id_col), sig.alias("simhash"))
+    # NULL text is unknown, not a duplicate (same rule as exact_dedup):
+    # without the filter every NULL doc gets signature 0 and they all
+    # cluster together (and with any legitimately-zero-signature doc)
+    sims = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), sig.alias("simhash")
+    )
     w = Window.partitionBy("simhash")
     return (
         sims.withColumn("__n", F.count("*").over(w))

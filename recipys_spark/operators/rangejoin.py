@@ -66,21 +66,24 @@ def range_join(
             f"ambiguous columns {sorted(overlap)}: rename before range_join"
         )
 
-    lt = left.withColumn(
-        "__bucket", F.floor(F.unix_timestamp(F.col(left_ts)) / w)
-    )
+    # fractional-second epochs: unix_timestamp TRUNCATES to seconds,
+    # which under-computes the last covering bucket for intervals with
+    # sub-second end timestamps (a point in the first second of the
+    # final bucket would silently lose its match)
+    def _epoch(c):
+        return F.col(c).cast("timestamp").cast("double")
+
+    lt = left.withColumn("__bucket", F.floor(_epoch(left_ts) / w))
     # end is exclusive: an interval ending exactly on a bucket edge
-    # contributes nothing to that bucket (hence end-1)
+    # contributes nothing to that bucket
+    end_d = _epoch(right_end)
+    hi_raw = F.floor(end_d / w)
+    hi = F.when(end_d == hi_raw * w, hi_raw - 1).otherwise(hi_raw)
     rt = (
         right.where(F.col(right_end) > F.col(right_start))
         .withColumn(
             "__rbucket",
-            F.explode(
-                F.sequence(
-                    F.floor(F.unix_timestamp(F.col(right_start)) / w),
-                    F.floor((F.unix_timestamp(F.col(right_end)) - 1) / w),
-                )
-            ),
+            F.explode(F.sequence(F.floor(_epoch(right_start) / w), hi)),
         )
     )
     for k in on:

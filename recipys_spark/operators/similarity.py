@@ -511,19 +511,24 @@ def quantize_embeddings(
         raise ValueError("bits must be in [2, 16]")
     qmax = (1 << (bits - 1)) - 1
     e = F.col(emb_col)
+    others = [c for c in df.columns if c != emb_col]
+    # project the scale ONCE: higher-order lambdas are interpreted with
+    # no cross-lambda subexpression elimination, so embedding the
+    # array_max subtree inside the per-element transform would make
+    # quantization O(dim²) per row
     maxabs = F.array_max(F.transform(e, lambda x: F.abs(x.cast("double"))))
-    scale = (maxabs / F.lit(float(qmax))).alias(f"{emb_col}_scale")
+    staged = df.select(
+        *others, e.alias(emb_col),
+        (maxabs / F.lit(float(qmax))).alias(f"{emb_col}_scale"),
+    )
+    scale = F.col(f"{emb_col}_scale")
     codes = F.when(
-        maxabs > 0,
+        scale > 0,
         F.transform(
-            e,
-            lambda x: F.floor(
-                x.cast("double") / (maxabs / F.lit(float(qmax))) + F.lit(0.5)
-            ).cast("int"),
+            e, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")
         ),
     ).otherwise(F.transform(e, lambda x: F.lit(0)))
-    others = [c for c in df.columns if c != emb_col]
-    return df.select(*others, codes.alias(emb_col), scale)
+    return staged.select(*others, codes.alias(emb_col), scale)
 
 
 def dequantize_embeddings(

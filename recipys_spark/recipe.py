@@ -196,10 +196,19 @@ class Recipe:
 
         groups = select_groups(ingredients)
         seqs = select_sequence(ingredients)
+        # a step is configurable if the user never set a bucket:
+        # unset (None), or set by a PREVIOUS auto_skew pass (tagged) —
+        # without the tag, re-prepping on new data would mistake the
+        # stale auto-derived bucket for a hand-chosen one and never
+        # re-probe
         configurable = [
             s
             for s in self.steps
-            if hasattr(s, "skew_bucket_size") and s.skew_bucket_size is None
+            if hasattr(s, "skew_bucket_size")
+            and (
+                s.skew_bucket_size is None
+                or getattr(s, "_auto_skew_assigned", False)
+            )
         ]
         if not groups or not seqs or not configurable:
             return {}
@@ -216,6 +225,7 @@ class Recipe:
             s.skew_bucket_size = (
                 rolling_bucket if isinstance(s, StepRolling) else window_bucket
             )
+            s._auto_skew_assigned = True
         return stats
 
     def prep(

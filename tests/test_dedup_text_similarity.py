@@ -550,3 +550,64 @@ def test_step_gopher_signals_in_recipe(spark, docs):
         ), sig
     # roles recorded for downstream selectors
     assert "text_gopher_dup_line_frac" in out.columns
+
+
+def test_scrub_pii_leaves_dates_and_decimals(spark):
+    """Regression: the phone pattern must not redact ISO dates, decimal
+    constants, or adjacent plain numbers (only +international or
+    parenthesized forms match)."""
+    from recipys_spark.functions.text import scrub_pii
+
+    safe = [
+        "released on 2024-01-02 ok",
+        "pi is 3.14159265",
+        "years 2024 2025 compared",
+        "build 1234567890 done",
+    ]
+    hot = ["call +1 555 123 4567 now", "ring (020) 7946 0958 today"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(6), "text": safe + hot})
+    )
+    out = df.select("doc_id", scrub_pii(df.text).alias("t")).orderBy(
+        "doc_id"
+    ).toPandas()
+    for i, s in enumerate(safe):
+        assert out.t[i] == s, out.t[i]
+    assert out.t[4] == "call <PHONE> now"
+    assert out.t[5] == "ring <PHONE> today"
+
+
+def test_simhash_udf_parity_on_exotic_whitespace(spark):
+    """Regression: the Arrow simhash must match the expression form on
+    tab/newline-padded and NBSP-containing text (Spark trim strips
+    spaces only; Java \\s is ASCII)."""
+    from pyspark.sql import functions as F
+
+    from recipys_spark.functions.text import simhash32, simhash32_udf
+
+    texts = [
+        "\thello world\n",
+        "  plain spaces  ",
+        "nbsp joined tokens",
+        "mixed\r\nline endings\ttabs",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    for fam in ("xxhash64", "md5"):
+        both = df.select(
+            simhash32(F.col("text"), fam).alias("e"),
+            simhash32_udf(fam)(F.col("text")).alias("v"),
+        ).collect()
+        for r in both:
+            assert r.e == r.v, (fam, r)
+
+
+def test_simhash_clusters_null_texts_not_clustered(spark):
+    from recipys_spark.operators.dedup import simhash_clusters
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1, 2, 3], "text": ["same text", "same text", None, None]}
+        )
+    )
+    got = simhash_clusters(df).toPandas()
+    assert set(got.doc_id) == {0, 1}  # NULLs never cluster

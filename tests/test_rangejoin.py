@@ -111,3 +111,33 @@ def test_range_join_rejects_ambiguous_and_bad_args(spark, points, intervals):
         range_join(points, intervals, on=None, bucket="1h")  # 'key' on both sides
     with pytest.raises(ValueError, match="how"):
         range_join(points, intervals.drop("key"), how="outer")
+
+
+def test_range_join_subsecond_end_timestamps(spark):
+    """Regression: an interval ending 0.5s into a bucket must still
+    match points in that bucket (unix_timestamp truncation previously
+    dropped the last covering bucket)."""
+    from datetime import timedelta
+
+    p = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": [0, 1],
+                "ts": [
+                    T0 + timedelta(minutes=60, microseconds=200_000),  # 10:00:00.2
+                    T0 + timedelta(minutes=60, microseconds=700_000),  # past end
+                ],
+            }
+        )
+    )
+    i = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "iid": [0],
+                "start": [T0 + timedelta(minutes=59, seconds=30)],
+                "end": [T0 + timedelta(minutes=60, microseconds=500_000)],
+            }
+        )
+    )
+    got = range_join(p, i, bucket="1m").toPandas()
+    assert sorted(got.pid) == [0]

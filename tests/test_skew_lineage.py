@@ -497,3 +497,34 @@ def test_prep_auto_skew_configures_and_matches_plain(spark, monkeypatch):
     )
     rec2.prep(auto_skew=True)
     assert rec2.steps[0].skew_bucket_size is None
+
+
+def test_auto_skew_reprobes_on_refit(spark):
+    """Regression: a bucket assigned by a previous auto_skew pass must
+    not be mistaken for a hand-configured one on the next prep."""
+    import pandas as pd
+
+    from recipys_spark import Accumulator, Recipe
+    from recipys_spark.operators import StepHistorical
+    from recipys_spark.selector import all_of
+
+    small = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 10, "t": range(10), "v": [1.0] * 10})
+    )
+    step = StepHistorical(sel=all_of(["v"]), fun=Accumulator.MEAN)
+    rec = Recipe(small, predictors=["v"], groups="g", sequences="t").add_step(step)
+    rec.prep(auto_skew=True)
+    first = step.skew_bucket_size
+    assert getattr(step, "_auto_skew_assigned", False)
+    # force a fake stale value as if a previous probe chose salting
+    step.skew_bucket_size = 123456
+    step._auto_skew_assigned = True
+    rec.prep(small, refit=True, auto_skew=True)
+    # re-probe overwrote the stale auto value (small data → advisor
+    # says plain plan, i.e. the same recommendation as the first pass)
+    assert step.skew_bucket_size == first
+    # but a HAND-set bucket is respected
+    step.skew_bucket_size = 999
+    step._auto_skew_assigned = False
+    rec.prep(small, refit=True, auto_skew=True)
+    assert step.skew_bucket_size == 999
