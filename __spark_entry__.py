@@ -925,6 +925,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_wav_decode"] = media_wav_decode
 
+    return _driver_window_order(q)
+
+
+# The external correctness gate consumes the FIRST 50 registry entries in
+# insertion order. Everything not yet driver-verified must sit inside
+# that window; these entries — green in CORRECTNESS_r02 AND r03 (the
+# long-stable trivia) plus the rows-only multimodal decode tier (no
+# DuckDB codec exists, so a driver row adds no hash signal) — are the
+# ones that can safely yield their slots, in this order, last first.
+_DEFER_TO_BACK = [
+    "join_orders_customer",
+    "topk_per_user",
+    "onehot_encode",
+    "rollup_counts",
+    "json_extract",
+    "date_parts",
+    "set_ops",
+    "cube_counts",
+    "multimodal_features",
+    "multimodal_real_decode",
+    "multimodal_png_decode",
+    "multimodal_wav_decode",
+]
+
+_DRIVER_WINDOW = 50
+
+
+def _driver_window_order(q: dict) -> dict:
+    deferred = {k: q.pop(k) for k in _DEFER_TO_BACK if k in q}
+    if len(q) > _DRIVER_WINDOW:  # grow _DEFER_TO_BACK when adding queries
+        raise AssertionError(
+            f"{len(q)} front-window queries exceed the driver's "
+            f"{_DRIVER_WINDOW}-entry correctness window; defer "
+            f"{len(q) - _DRIVER_WINDOW} more long-stable entries"
+        )
+    q.update(deferred)
     return q
 
 

@@ -48,6 +48,8 @@ class Ingredients:
                     raise TypeError(f"roles for column {col!r} must be a list of strings")
         # deep-copy so callers can't mutate our state from the outside
         self.roles: dict[str, list[str]] = {c: list(rs) for c, rs in roles.items()}
+        # memoized df.count(), see row_count()
+        self._row_count: Optional[int] = None
 
     # -- frame access -------------------------------------------------
 
@@ -71,6 +73,17 @@ class Ingredients:
     @property
     def dtypes(self) -> dict[str, str]:
         return dict(self._df.dtypes)
+
+    def row_count(self) -> int:
+        """Memoized ``df.count()`` — fitted steps that probe the input
+        cardinality (resolve_exact's exact-vs-sketch switch) share ONE
+        count job per frame instead of each launching its own scan; a
+        recipe with several quantile-fitted steps would otherwise scan
+        the input once per step. Row-preserving steps propagate the
+        cache to their output Ingredients (Step.transform)."""
+        if self._row_count is None:
+            self._row_count = self._df.count()
+        return self._row_count
 
     # -- functional updates -------------------------------------------
 

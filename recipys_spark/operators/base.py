@@ -44,6 +44,10 @@ class Step:
 
     _uses_groups: bool = True
     _uses_sequence: bool = True
+    #: True for 1:1 transforms (every input row maps to exactly one
+    #: output row) — lets the memoized Ingredients.row_count() cache
+    #: flow through so later fitted steps skip their count probe
+    _row_preserving: bool = False
 
     def __init__(self, sel: Optional[Selector] = None) -> None:
         self.sel = sel if sel is not None else Selector("all columns")
@@ -75,6 +79,8 @@ class Step:
             raise RuntimeError(f"{type(self).__name__} must be fitted before transform.")
         df = self.do_transform(ingredients)
         out = ingredients.with_df(df)
+        if self._row_preserving:
+            out._row_count = ingredients._row_count
         for col, role in self.new_column_roles().items():
             if col in df.columns:
                 out.roles[col] = [role]

@@ -529,12 +529,36 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     block_col: Optional[str] = None,
+    max_pairs: Optional[int] = -1,
 ) -> DataFrame:
     """Cosine-similarity near-duplicate pairs (id_a < id_b, cos ≥ t).
 
     Brute within optional blocks; for billion-row corpora use
-    similarity.lsh_cosine_topk's hyperplane bucketing instead."""
-    from recipys_spark.operators.similarity import cosine_expr
+    ``embedding_neardup_lsh`` (bucketed self-join) instead. A fit-time
+    count probe raises above ``max_pairs`` candidate pairs (default -1 =
+    ``similarity.BRUTE_PAIR_BUDGET``, resolved lazily so the two modules
+    share one knob; blocked mode bounds by n × max_block_size / 2).
+    Pass ``max_pairs=None`` to force the quadratic join knowingly."""
+    from recipys_spark.operators.similarity import (
+        BRUTE_PAIR_BUDGET,
+        _check_pair_budget,
+        cosine_expr,
+    )
+
+    budget = BRUTE_PAIR_BUDGET if max_pairs == -1 else max_pairs
+    if budget is not None:
+        n = df.count()
+        if block_col is not None:
+            max_block = (
+                df.groupBy(block_col).count().agg(F.max("count")).collect()[0][0]
+                or 0
+            )
+            bound = n * max_block // 2
+        else:
+            bound = n * (n - 1) // 2
+        _check_pair_budget(
+            bound, budget, "embedding_neardup_pairs", "embedding_neardup_lsh"
+        )
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("__ea"),
                   *( [F.col(block_col).alias("__blk_a")] if block_col else [] ))

@@ -65,6 +65,7 @@ class StepOrdinalEncode(Step):
 
     _uses_groups = False
     _uses_sequence = False
+    _row_preserving = True
 
     def __init__(
         self, sel: Optional[Selector] = None, max_categories: int = 10_000
@@ -110,6 +111,7 @@ class StepOneHotEncode(Step):
 
     _uses_groups = False
     _uses_sequence = False
+    _row_preserving = True
 
     def __init__(
         self,
@@ -173,6 +175,7 @@ class StepMissingIndicator(Step):
 
     _uses_groups = False
     _uses_sequence = False
+    _row_preserving = True
 
     def __init__(
         self,

@@ -55,6 +55,8 @@ def bfill_expr(col: str, groups, seq) -> "F.Column":
 
 
 class StepImputeFill(Step):
+    _row_preserving = True
+
     def __init__(
         self,
         sel: Optional[Selector] = None,
@@ -202,6 +204,7 @@ class StepImputeFastZeroFill(Step):
 
     _uses_groups = False
     _uses_sequence = False
+    _row_preserving = True
 
     def __init__(self, sel: Optional[Selector] = None) -> None:
         super().__init__(sel if sel is not None else all_predictors())
@@ -216,6 +219,8 @@ class StepImputeFastForwardFill(Step):
     cumsum-mask trick exists because pandas grouped fillna was slow; a
     Spark window makes it unnecessary — same semantics as
     ``StepImputeFill(strategy='forward')``."""
+
+    _row_preserving = True
 
     def __init__(self, sel: Optional[Selector] = None) -> None:
         super().__init__(sel if sel is not None else all_predictors())

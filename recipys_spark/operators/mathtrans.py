@@ -32,6 +32,7 @@ class StepLog1p(Step):
 
     _uses_groups = False
     _uses_sequence = False
+    _row_preserving = True
 
     def __init__(
         self,
@@ -74,6 +75,7 @@ class StepPolynomialFeatures(Step):
 
     _uses_groups = False
     _uses_sequence = False
+    _row_preserving = True
 
     def __init__(
         self,
@@ -345,7 +347,7 @@ class StepSpline(_FittedStep):
         else:
             from recipys_spark.operators.scale import percentile_agg, resolve_exact
 
-            ex = resolve_exact(self.exact, df, self.rows_hint)
+            ex = resolve_exact(self.exact, ingredients, self.rows_hint)
             aggs = [
                 percentile_agg(F.col(c), fracs, ex).alias(c)
                 for c in self.columns

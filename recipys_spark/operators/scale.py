@@ -47,18 +47,31 @@ def percentile_agg(col, probs, exact: bool = True, accuracy: int = 10_000):
 AUTO_EXACT_MAX_ROWS = 100_000_000
 
 
-def resolve_exact(exact, df, rows_hint=None) -> bool:
+def resolve_exact(exact, data, rows_hint=None) -> bool:
     """Resolve a step's ``exact=None`` default by probing the input
     size ONCE at fit time: exact percentiles at/below
     AUTO_EXACT_MAX_ROWS (bit-identical to the numpy/DuckDB oracles),
     the percentile_approx sketch above — the exact aggregator buffers
     every value per column in executor memory, which is an OOM at the
     engine's own 10^10+-row target scale, so a scale-unsafe DEFAULT is
-    a landmine even though the opt-in sketch exists. ``rows_hint``
-    skips the count job (callers that already know the cardinality)."""
+    a landmine even though the opt-in sketch exists.
+
+    NOTE (behavior change vs the always-exact default of early
+    releases): inputs above 10^8 rows now fit APPROXIMATE percentiles
+    unless ``exact=True`` is passed explicitly.
+
+    ``data`` may be an Ingredients (preferred — the count memoizes on
+    the frame, so several quantile-fitted steps in one recipe share a
+    single probe job) or a bare DataFrame; ``rows_hint`` skips the
+    count job entirely (callers that already know the cardinality)."""
     if exact is not None:
         return exact
-    n = rows_hint if rows_hint is not None else df.count()
+    if rows_hint is not None:
+        n = rows_hint
+    elif isinstance(data, Ingredients):
+        n = data.row_count()
+    else:
+        n = data.count()
     return n <= AUTO_EXACT_MAX_ROWS
 
 
@@ -67,6 +80,7 @@ class _FittedStep(Step):
 
     _uses_groups = False
     _uses_sequence = False
+    _row_preserving = True  # pure 1:1 column rewrites
 
     def __init__(self, sel: Optional[Selector] = None) -> None:
         super().__init__(sel if sel is not None else all_numeric_predictors())
@@ -196,7 +210,7 @@ class StepRobustScale(_FittedStep):
         self.rows_hint = rows_hint
 
     def do_fit(self, ingredients: Ingredients) -> None:
-        ex = resolve_exact(self.exact, ingredients.df, self.rows_hint)
+        ex = resolve_exact(self.exact, ingredients, self.rows_hint)
         aggs = [
             percentile_agg(F.col(c), [0.25, 0.5, 0.75], ex).alias(c)
             for c in self.columns
@@ -226,6 +240,7 @@ class StepBinarize(Step):
 
     _uses_groups = False
     _uses_sequence = False
+    _row_preserving = True
 
     def __init__(self, sel: Optional[Selector] = None, threshold: float = 0.0) -> None:
         super().__init__(sel if sel is not None else all_numeric_predictors())
@@ -250,6 +265,7 @@ class StepNormalize(Step):
 
     _uses_groups = False
     _uses_sequence = False
+    _row_preserving = True
 
     def __init__(self, sel: Optional[Selector] = None, norm: str = "l2") -> None:
         super().__init__(sel if sel is not None else all_numeric_predictors())
@@ -319,7 +335,7 @@ class StepKBinsDiscretize(_FittedStep):
                 ]
                 self.state[c] = {"edges": edges}
         else:
-            ex = resolve_exact(self.exact, df, self.rows_hint)
+            ex = resolve_exact(self.exact, ingredients, self.rows_hint)
             probs = [i / self.n_bins for i in range(self.n_bins + 1)]
             aggs = [
                 percentile_agg(F.col(c), probs, ex).alias(c)
@@ -360,7 +376,7 @@ class StepQuantileTransform(_FittedStep):
         self.desc = f"QuantileTransform({n_quantiles})"
 
     def do_fit(self, ingredients: Ingredients) -> None:
-        n = ingredients.df.count()  # also the resolve_exact probe
+        n = ingredients.row_count()  # also the resolve_exact probe (memoized)
         ex = resolve_exact(self.exact, ingredients.df, rows_hint=n)
         k = min(self.n_quantiles, max(2, n))
         probs = [i / (k - 1) for i in range(k)]

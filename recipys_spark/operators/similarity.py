@@ -44,7 +44,10 @@ def norm_expr(a):
 
 
 def cosine_expr(a, b):
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    # try_divide: a zero-norm vector yields NULL cosine (sorts LAST in
+    # the descending top-k) instead of raising under ANSI mode (Spark 4
+    # default) or yielding NaN — and matches cosine_udf's guard exactly
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
 
 
 def cosine_udf():
@@ -53,22 +56,55 @@ def cosine_udf():
     production dims the rescoring of LSH/IVF candidates, not the
     signature, dominates (measured 70s → seconds at dim 256 with 156k
     candidate pairs). Values agree with cosine_expr to the last ulp
-    (summation order differs), exactly on integer embeddings."""
+    (summation order differs), exactly on integer embeddings.
+
+    Degenerate inputs mirror the expression form exactly: a NULL
+    embedding on either side → NULL (not a task failure), and a
+    zero-norm vector → NULL (Spark's non-ANSI x/0), never NaN — NaN
+    would sort ABOVE every real score in a descending top-k."""
 
     import numpy as np
 
     @F.pandas_udf("double")
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series(np.empty(0, dtype=np.float64))
-        xa = np.asarray([np.asarray(v, dtype=np.float64) for v in a])
-        xb = np.asarray([np.asarray(v, dtype=np.float64) for v in b])
-        dots = (xa * xb).sum(axis=1)
-        na = np.sqrt((xa * xa).sum(axis=1))
-        nb = np.sqrt((xb * xb).sum(axis=1))
-        return pd.Series(dots / (na * nb))
+        n = len(a)
+        out = [None] * n
+        idx = [
+            i
+            for i in range(n)
+            if a.iloc[i] is not None and b.iloc[i] is not None
+        ]
+        if idx:
+            xa = np.asarray([np.asarray(a.iloc[i], dtype=np.float64) for i in idx])
+            xb = np.asarray([np.asarray(b.iloc[i], dtype=np.float64) for i in idx])
+            dots = (xa * xb).sum(axis=1)
+            na = np.sqrt((xa * xa).sum(axis=1))
+            nb = np.sqrt((xb * xb).sum(axis=1))
+            denom = na * nb
+            for j, i in enumerate(idx):
+                if denom[j] > 0:
+                    out[i] = float(dots[j] / denom[j])
+        return pd.Series(out, dtype=object)
 
     return cos
+
+
+# The brute tiers (cosine_topk, dedup.embedding_neardup_pairs) are the
+# verification oracles — quadratic by construction. Above this many
+# candidate pairs (10^5 × 10^5) they raise instead of launching a job
+# that would run for days on a cluster; the LSH/IVF tiers are the scale
+# path. Pass max_pairs=None to override knowingly.
+BRUTE_PAIR_BUDGET = 10_000_000_000
+
+
+def _check_pair_budget(n_pairs: int, max_pairs, caller: str, alternative: str):
+    if max_pairs is not None and n_pairs > max_pairs:
+        raise ValueError(
+            f"{caller}: candidate-pair count {n_pairs:,} exceeds the brute-force "
+            f"budget {max_pairs:,}. This tier is the exactness oracle, not the "
+            f"scale path — use {alternative} (bucketed, sub-quadratic) for large "
+            f"corpora, or pass max_pairs=None to force the quadratic join."
+        )
 
 
 def cosine_topk(
@@ -77,9 +113,19 @@ def cosine_topk(
     k: int = 10,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    max_pairs: Optional[int] = BRUTE_PAIR_BUDGET,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank), self-matches excluded,
-    deterministic tie-break by neighbor id."""
+    deterministic tie-break by neighbor id.
+
+    Scale-safe by construction: a count probe raises above ``max_pairs``
+    candidate pairs (default 10^10) pointing at ``lsh_cosine_topk`` /
+    ``ivf_cosine_topk``; the crossJoin is the verification tier only."""
+    if max_pairs is not None:
+        _check_pair_budget(
+            queries.count() * corpus.count(), max_pairs,
+            "cosine_topk", "lsh_cosine_topk / ivf_cosine_topk",
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("__qe")
     )
@@ -158,7 +204,10 @@ def hyperplane_signature(emb_col, n_planes: int, dim: int, seed: int = 42,
             lambda acc, x: acc + x,
         )
         sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+    # NULL embedding → NULL signature (matches hyperplane_signature_udf;
+    # without the guard a null projection would fall to every otherwise(0)
+    # branch and silently bucket all null rows together at signature 0)
+    return F.when(emb_col.isNotNull(), sig)
 
 
 def hyperplane_signature_udf(n_planes: int, dim: int, seed: int = 42,
@@ -186,11 +235,15 @@ def hyperplane_signature_udf(n_planes: int, dim: int, seed: int = 42,
 
     @F.pandas_udf("long")
     def sig(emb: pd.Series) -> pd.Series:
-        x = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
-        if x.size == 0:
-            return pd.Series(np.empty(0, dtype=np.int64))
-        proj = x @ w_t
-        return pd.Series(((proj > 0) * bitvals).sum(axis=1))
+        n = len(emb)
+        out = [None] * n  # NULL embedding → NULL signature (expr parity)
+        idx = [i for i in range(n) if emb.iloc[i] is not None]
+        if idx:
+            x = np.asarray([np.asarray(emb.iloc[i], dtype=np.float64) for i in idx])
+            vals = ((x @ w_t > 0) * bitvals).sum(axis=1)
+            for j, i in enumerate(idx):
+                out[i] = int(vals[j])
+        return pd.Series(out, dtype=object)
 
     return sig
 
@@ -376,12 +429,16 @@ def ivf_cells_udf(centroids, nprobe: int = 1):
 
     @F.pandas_udf("array<int>")
     def cells(emb: pd.Series) -> pd.Series:
-        x = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
-        if x.size == 0:
-            return pd.Series([], dtype=object)
-        scores = x @ c_t
-        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series(list(order.astype(np.int32)))
+        n = len(emb)
+        out = [None] * n  # NULL embedding → NULL cell list (expr parity)
+        idx = [i for i in range(n) if emb.iloc[i] is not None]
+        if idx:
+            x = np.asarray([np.asarray(emb.iloc[i], dtype=np.float64) for i in idx])
+            scores = x @ c_t
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+            for j, i in enumerate(idx):
+                out[i] = order[j].astype(np.int32)
+        return pd.Series(out, dtype=object)
 
     return cells
 
@@ -451,7 +508,12 @@ def ivf_cosine_topk(
                 for i, s in enumerate(c_scores)
             ]
         )
-        c = c.withColumn("__cell", F.array_sort(c_pairs)[0]["c"])
+        # NULL embedding → NULL cell (parity with ivf_cells_udf; a null
+        # dot would otherwise flow into the struct sort undefined)
+        c = c.withColumn(
+            "__cell",
+            F.when(F.col("__ce").isNotNull(), F.array_sort(c_pairs)[0]["c"]),
+        )
 
         q_scores = dots(F.col("__qe"))
         q_pairs = F.array(
@@ -460,9 +522,14 @@ def ivf_cosine_topk(
                 for i, s in enumerate(q_scores)
             ]
         )
-        probes = F.slice(
-            F.transform(F.array_sort(q_pairs), lambda p: p["c"]), 1, nprobe
+        probes = F.when(
+            F.col("__qe").isNotNull(),
+            F.slice(
+                F.transform(F.array_sort(q_pairs), lambda p: p["c"]), 1, nprobe
+            ),
         )
+        # explode(NULL) drops the row — a null-embedding query yields no
+        # neighbors on both paths (the UDF's null cell list behaves the same)
         q = q.withColumn("__cell", F.explode(probes))
 
     rescore = (

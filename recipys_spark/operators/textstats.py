@@ -77,9 +77,12 @@ def unigram_logprob_scores(
 
     Returns (id, n_scored, n_oov, avg_logprob); documents with no
     tokens are absent. Scale shape: one token-count aggregation (only
-    when self-fitting), one broadcastable vocab join (a 10^7-type
-    vocabulary is ~100 MB — below the broadcast threshold with AQE;
-    bigger vocabularies degrade to a sort-merge join on the token),
+    when self-fitting), one vocab join with NO forced broadcast hint —
+    AQE measures the post-shuffle vocab size at runtime and converts to
+    a broadcast join when it fits (a 10^6-token vocab does; the
+    10^8–10^9-distinct-token vocabulary of a self-fit 100 TB web
+    corpus does not, and a forced hint there would OOM the build side
+    — it degrades to a sort-merge join on the token instead), then
     one per-doc aggregation. Per-token log-probs are rounded to
     ``round_dp`` BEFORE the exact-decimal mean so the result is
     bit-identical across engines and parallelism (ln differs in the
@@ -112,8 +115,14 @@ def unigram_logprob_scores(
     oov = tot.select(
         F.round(F.log(1.0 / (F.col("n") + F.col("v"))), round_dp).alias("oov_logp")
     )
+    # deliberately NO F.broadcast(lp): an explicit hint never degrades,
+    # and the vocabulary is unbounded in self-fit mode (10^8+ distinct
+    # tokens on a web corpus → build-side OOM). lp sits behind a shuffle
+    # (groupBy), so AQE converts this to a broadcast join at runtime
+    # whenever the measured vocab size is under the threshold — the
+    # small-vocab fast path is preserved without the unbounded risk.
     scored = (
-        toks.join(F.broadcast(lp), "t", "left")
+        toks.join(lp, "t", "left")
         .crossJoin(F.broadcast(oov))
         .select(
             id_col,

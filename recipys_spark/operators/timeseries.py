@@ -317,6 +317,24 @@ def time_rollup(
     from recipys_spark.functions.deterministic import det_sum
 
     group_cols = list(group_cols)
+    # the grouping-set prefixes below are only meaningful coarse→fine;
+    # ("hour","day") would silently build wrong prefixes and mislabel
+    # the grain column, so violations fail loudly here
+    _HIERARCHY = [
+        "year", "quarter", "month", "week", "day", "hour", "minute", "second",
+    ]
+    ranks = []
+    for g in grains:
+        if g not in _HIERARCHY:
+            raise ValueError(
+                f"unknown time grain {g!r}; expected one of {_HIERARCHY}"
+            )
+        ranks.append(_HIERARCHY.index(g))
+    if ranks != sorted(ranks) or len(set(ranks)) != len(ranks):
+        raise ValueError(
+            f"grains must be ordered coarse→fine without repeats "
+            f"(hierarchy {_HIERARCHY}); got {tuple(grains)}"
+        )
     grain_cols = [f"{ts_col}_{g}" for g in grains]
     base = df.select(
         *group_cols,

@@ -243,6 +243,15 @@ class Recipe:
         ingredients = self._check_data(data)
         if auto_skew:
             self._configure_auto_skew(ingredients)
+        else:
+            # drop buckets a PREVIOUS auto_skew prep derived (tagged) —
+            # they were probed on a different dataset and would silently
+            # persist on the shared Step objects; hand-chosen buckets
+            # (untagged) are the user's and stay
+            for s in self.steps:
+                if getattr(s, "_auto_skew_assigned", False):
+                    s.skew_bucket_size = None
+                    s._auto_skew_assigned = False
         result = self._apply_fit_transform(ingredients, refit=refit)
         # record post-prep roles so bake wraps inputs consistently
         if self.data is not None:

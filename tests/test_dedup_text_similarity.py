@@ -611,3 +611,46 @@ def test_simhash_clusters_null_texts_not_clustered(spark):
     )
     got = simhash_clusters(df).toPandas()
     assert set(got.doc_id) == {0, 1}  # NULLs never cluster
+
+
+# -- brute-tier pair budgets (VERDICT r3 #3): scale-safe by construction
+
+
+def test_cosine_topk_pair_budget_raises(spark):
+    import pytest as _pytest
+
+    from recipys_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="lsh_cosine_topk"):
+        cosine_topk(emb, emb, k=3, max_pairs=100)
+    # None disables the guard; a tiny budget over a tiny frame passes
+    out = cosine_topk(emb.limit(2), emb.limit(3), k=2, max_pairs=100)
+    assert out.count() > 0
+
+
+def test_embedding_neardup_pairs_budget_raises(spark):
+    import pytest as _pytest
+
+    from recipys_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="embedding_neardup_lsh"):
+        embedding_neardup_pairs(emb, max_pairs=50)
+    # blocked mode bounds by n × max_block: fine-grained blocks pass
+    from pyspark.sql import functions as F
+
+    blocked = emb.withColumn("blk", F.col("vec_id") % 200)
+    assert (
+        embedding_neardup_pairs(
+            blocked, block_col="blk", threshold=-1.0, max_pairs=10_000
+        ).count()
+        > 0
+    )
+    # and max_pairs=None force-runs the quadratic join
+    assert (
+        embedding_neardup_pairs(
+            emb.limit(5), threshold=-1.0, max_pairs=None
+        ).count()
+        == 10
+    )

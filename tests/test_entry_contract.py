@@ -94,3 +94,26 @@ def test_entry_smoke(spark):
 
 def test_every_oracle_has_query():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_driver_window_covers_all_unverified_queries():
+    """The external gate checks only the FIRST _DRIVER_WINDOW entries
+    in insertion order (VERDICT r3 #1: 12 registered queries went
+    unchecked because they sat past slot 50). Every oracled query must
+    sit inside the window; only long-stable or rows-only entries may
+    occupy the deferred tail."""
+    names = list(QUERIES)
+    window = names[: entrymod._DRIVER_WINDOW]
+    tail = names[entrymod._DRIVER_WINDOW:]
+    # the previously-unchecked oracled queries are now inside the window
+    for q in [
+        "unigram_logprob", "gopher_signals", "text_scrub",
+        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "dedup_neardup_lsh", "embedding_quantize",
+    ]:
+        assert q in window, q
+    # everything deferred is either rows-only (no oracle) or on the
+    # explicitly sanctioned long-stable list
+    for q in tail:
+        assert q in entrymod._DEFER_TO_BACK, q
+    assert len(window) <= entrymod._DRIVER_WINDOW

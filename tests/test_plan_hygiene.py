@@ -134,3 +134,43 @@ def test_stateless_math_steps_no_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_unigram_vocab_join_not_force_broadcast(spark):
+    """The self-fit vocabulary is unbounded (10^8+ distinct tokens on a
+    web corpus), so unigram_logprob_scores must NOT carry an explicit
+    broadcast hint on the token join — the static plan keeps a
+    sort-merge join and AQE converts to broadcast at runtime only when
+    the measured vocab size fits. A forced hint never degrades and
+    would OOM the build side at scale (VERDICT r3 finding #1)."""
+    import pandas as pd
+
+    from recipys_spark.operators.textstats import unigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(100),
+                "text": [f"tok{i} tok{i + 1} common word" for i in range(100)],
+            }
+        )
+    )
+    out = unigram_logprob_scores(docs)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized
+    # discriminating probe: with auto-broadcast disabled (the stand-in
+    # for "vocab too big to broadcast"), the token join must degrade to
+    # a sort-merge join — a forced F.broadcast hint would still plan a
+    # BroadcastHashJoin regardless of the threshold
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = unigram_logprob_scores(docs)
+        initial = big._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in initial, initial
+        assert "BroadcastHashJoin" not in initial, initial
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    # and values still flow on the default path (AQE/static broadcast)
+    rows = out.collect()
+    assert len(rows) == 100

@@ -353,3 +353,36 @@ def test_percentile_fit_auto_switches_to_sketch(spark):
     sketch_step = StepRobustScale(sel=all_of(["x"]), rows_hint=10**12)
     Recipe(df, predictors=["x"]).add_step(sketch_step).prep()
     assert sketch_step.state["x"]["median"] in (2.0, 3.0)  # sketch element
+
+
+def test_quantile_steps_share_one_count_probe(spark, example_df):
+    """ADVICE r3: several exact=None fitted steps in one recipe must
+    resolve their exact-vs-sketch switch from ONE memoized count probe,
+    not one scan each — row-preserving steps propagate the cache."""
+    from unittest import mock
+
+    from recipys_spark import Recipe
+    from recipys_spark.operators import (
+        StepKBinsDiscretize,
+        StepRobustScale,
+        StepSpline,
+    )
+    from recipys_spark.selector import all_of
+
+    rec = (
+        Recipe(example_df, predictors=["x1", "y"], groups="id", sequences="time")
+        .add_step(StepRobustScale(sel=all_of(["x1"])))
+        .add_step(StepKBinsDiscretize(sel=all_of(["y"]), strategy="quantile"))
+        .add_step(StepSpline(sel=all_of(["x1"]), knots="quantile"))
+    )
+    cls = type(example_df)  # the concrete (classic) DataFrame class
+    real_count = cls.count
+    calls = []
+
+    def counting(self):
+        calls.append(1)
+        return real_count(self)
+
+    with mock.patch.object(cls, "count", counting):
+        rec.prep()
+    assert sum(calls) == 1, f"expected one shared probe, saw {sum(calls)}"

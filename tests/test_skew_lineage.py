@@ -528,3 +528,30 @@ def test_auto_skew_reprobes_on_refit(spark):
     step._auto_skew_assigned = False
     rec.prep(small, refit=True, auto_skew=True)
     assert step.skew_bucket_size == 999
+
+
+def test_prep_without_auto_skew_resets_stale_auto_buckets(spark):
+    """ADVICE r3: a later prep() WITHOUT auto_skew must not silently
+    keep the bucket a previous auto_skew pass probed on different data
+    — auto-assigned buckets are reset; hand-chosen ones persist."""
+    import pandas as pd
+
+    from recipys_spark import Accumulator, Recipe
+    from recipys_spark.operators import StepHistorical
+    from recipys_spark.selector import all_of
+
+    small = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 10, "t": range(10), "v": [1.0] * 10})
+    )
+    step = StepHistorical(sel=all_of(["v"]), fun=Accumulator.MEAN)
+    rec = Recipe(small, predictors=["v"], groups="g", sequences="t").add_step(step)
+    # simulate a stale auto-derived bucket from a previous dataset's probe
+    step.skew_bucket_size = 123456
+    step._auto_skew_assigned = True
+    rec.prep(small, refit=True)
+    assert step.skew_bucket_size is None
+    assert not step._auto_skew_assigned
+    # a hand-chosen bucket (untagged) survives a plain prep
+    step.skew_bucket_size = 777
+    rec.prep(small, refit=True)
+    assert step.skew_bucket_size == 777

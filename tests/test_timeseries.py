@@ -179,3 +179,17 @@ def test_time_rollup_grains_match_pandas(spark):
     assert sorted(total.value_sum.round(9)) == sorted(
         day.groupby(day.user_id).value_sum.sum().round(9)
     )
+
+
+def test_time_rollup_grain_order_validated(spark):
+    import pytest as _pytest
+
+    from recipys_spark.operators.timeseries import time_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    with _pytest.raises(ValueError, match="coarse"):
+        time_rollup(ev, grains=("hour", "day"))
+    with _pytest.raises(ValueError, match="coarse"):
+        time_rollup(ev, grains=("day", "day"))
+    with _pytest.raises(ValueError, match="unknown time grain"):
+        time_rollup(ev, grains=("fortnight",))

@@ -275,3 +275,96 @@ def test_minhash_lsh_vectorized_equals_expression(spark):
         assert sorted(zip(a.id_a, a.id_b, a.jaccard.round(9))) == sorted(
             zip(b.id_a, b.id_b, b.jaccard.round(9))
         ), fam
+
+
+# -- degenerate-input parity (ADVICE r3): NULL embeddings and zero-norm
+# vectors must behave IDENTICALLY on the vectorized and expression
+# paths — before the guards, a NULL embedding crashed the UDFs inside
+# np.asarray and a zero vector scored NaN, which sorts ABOVE every real
+# cosine in a descending top-k (rank-1 garbage neighbor).
+
+
+def _degenerate_df(spark):
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [4.0, 3.0, 2.0, 1.0]),
+        (2, None),               # NULL embedding
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero-norm vector
+        (4, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_cosine_udf_null_and_zero_norm_match_expression(spark):
+    from recipys_spark.operators.similarity import cosine_expr, cosine_udf
+
+    df = _degenerate_df(spark)
+    pairs = df.alias("a").crossJoin(
+        df.select(
+            F.col("vec_id").alias("vid_b"), F.col("embedding").alias("emb_b")
+        )
+    )
+    got = pairs.select(
+        "vec_id",
+        "vid_b",
+        cosine_expr(F.col("embedding"), F.col("emb_b")).alias("e"),
+        cosine_udf()(F.col("embedding"), F.col("emb_b")).alias("v"),
+    ).collect()
+    assert len(got) == 25
+    for r in got:
+        if r.e is None:
+            assert r.v is None, (r.vec_id, r.vid_b, r.v)
+        else:
+            assert r.v is not None and abs(r.e - r.v) < 1e-12, r
+
+
+def test_signature_udfs_null_embedding_yields_null(spark):
+    from recipys_spark.operators.similarity import ivf_cells_udf
+
+    df = _degenerate_df(spark)
+    w = hyperplane_weights(4, 4)
+    got = df.select(
+        "vec_id",
+        hyperplane_signature(F.col("embedding"), 4, 4, weights=w).alias("se"),
+        hyperplane_signature_udf(4, 4, weights=w)(F.col("embedding")).alias("sv"),
+        ivf_cells_udf([[1.0, 0, 0, 0], [0, 1.0, 0, 0]], 1)(
+            F.col("embedding")
+        ).alias("cells"),
+    ).collect()
+    for r in got:
+        assert r.se == r.sv, r
+        if r.vec_id == 2:
+            assert r.se is None and r.cells is None
+        else:
+            assert r.se is not None and r.cells is not None
+
+
+def test_topk_paths_agree_on_degenerate_corpus(spark):
+    """End-to-end: with a NULL-embedding row and a zero vector in the
+    corpus, both LSH paths run without task failure, never rank the
+    zero vector above real neighbors, and drop the NULL row."""
+    df = _degenerate_df(spark)
+    queries = df.where(F.col("vec_id") == 0)
+    for vec in (False, True):
+        out = lsh_cosine_topk(
+            queries, df, k=10, n_planes=4, dim=4, vectorized=vec
+        ).collect()
+        ids = [r.neighbor_id for r in out]
+        assert 2 not in ids, (vec, out)          # NULL row unreachable
+        if 3 in ids:                             # zero vector: last, never first
+            assert ids[0] != 3 and all(
+                r.cosine is None for r in out if r.neighbor_id == 3
+            ), (vec, out)
+        cosmap = {r.neighbor_id: r.cosine for r in out}
+        assert cosmap.get(1) is not None
+
+    for vec in (False, True):
+        out = ivf_cosine_topk(
+            queries, df, k=10,
+            centroids=[[1.0, 0, 0, 0], [0, 0, 0, 1.0]], nprobe=2,
+            vectorized=vec,
+        ).collect()
+        ids = [r.neighbor_id for r in out]
+        assert 2 not in ids, (vec, out)
+        if 3 in ids:
+            assert ids[0] != 3
