@@ -211,6 +211,7 @@ class StepHistorical(Step):
         role: str = "predictor",
         skew_bucket_size: Optional[int] = None,
         median_via_pandas: Optional[bool] = None,
+        median_ship: Optional[str] = None,
     ) -> None:
         super().__init__(sel if sel is not None else all_numeric_predictors())
         if not isinstance(fun, Accumulator):
@@ -219,6 +220,12 @@ class StepHistorical(Step):
             raise TypeError(f"FIRST/LAST are resampling-only policies, got {fun}")
         if median_via_pandas and fun is not Accumulator.MEDIAN:
             raise ValueError("median_via_pandas applies only to MEDIAN")
+        if median_ship is not None:
+            if fun is not Accumulator.MEDIAN:
+                raise ValueError("median_ship applies only to MEDIAN")
+            if median_ship not in ("auto", "narrow", "full"):
+                raise ValueError("median_ship must be 'auto', 'narrow' or 'full'")
+        self.median_ship = median_ship or "auto"
         self.fun = fun
         self.suffix = suffix if suffix is not None else fun.value
         self.role = role
@@ -252,10 +259,12 @@ class StepHistorical(Step):
         if self.fun is Accumulator.MEDIAN and self.median_via_pandas is not False:
             # Scale-safe default: the window `percentile` recomputes the
             # expanding frame per row — O(n²) per conversation, which
-            # never finishes at 10^6+ turns. The Arrow applyInPandas
-            # path streams it (pandas skiplist expanding median,
-            # O(n log n)). Pass median_via_pandas=False to force the
-            # window expression (the SQL-oracle mirror).
+            # never finishes at 10^6+ turns. The Arrow paths stream it
+            # (pandas skiplist expanding median, O(n log n)). Pass
+            # median_via_pandas=False to force the window expression
+            # (the SQL-oracle mirror).
+            if self._median_ship_full(df, groups, seq):
+                return self._median_apply_in_arrow(df, groups, seq)
             return self._median_apply_in_pandas(df, groups, seq)
         frame = expanding(groups, seq)
         exprs = [
@@ -323,3 +332,67 @@ class StepHistorical(Step):
             *[df[c] for c in df.columns],
             *[meds[f"{c}_{suffix}"] for c in cols],
         )
+
+    def _median_ship_full(self, df, groups, seq) -> bool:
+        """Ship-strategy policy for the Arrow median.
+
+        ``full`` ships whole rows once through applyInArrow and appends
+        the medians in place — ONE shuffle, no join-back (measured ~2×
+        on the bench events table). ``narrow`` ships only (groups,
+        sequence, selected cols) and joins the medians back — two extra
+        exchanges, but the right trade when the row carries wide
+        variable-width payloads (a transcript ``text`` column would
+        multiply the Arrow+shuffle volume for no reason). ``auto``
+        picks ``full`` iff every passthrough column is a fixed-width
+        primitive (numeric/bool/timestamp/date) — variable-width
+        passthrough (string/binary/array/map/struct) routes narrow."""
+        if self.median_ship != "auto":
+            return self.median_ship == "full"
+        from pyspark.sql import types as T
+
+        fixed = (
+            T.NumericType, T.BooleanType, T.TimestampType,
+            T.TimestampNTZType, T.DateType,
+        )
+        shipped = set(groups) | set(seq) | set(self.columns)
+        return all(
+            isinstance(f.dataType, fixed)
+            for f in df.schema
+            if f.name not in shipped
+        )
+
+    def _median_apply_in_arrow(self, df, groups, seq):
+        """Full-row expanding median: one applyInArrow pass appends the
+        median columns to the rows in place — no join-back stage.
+
+        applyInArrow (not applyInPandas) on purpose: passthrough
+        columns stay zero-copy Arrow and never round-trip through
+        pandas, which would coerce nullable int64 to float64 and
+        corrupt values above 2^53. Only the selected value columns are
+        materialized as pandas Series (for the O(n log n) skiplist
+        expanding median); the sort mirrors the window path's
+        asc_nulls_first ordering."""
+        import numpy as np
+        import pyarrow as pa
+        from pyspark.sql import types as T
+
+        cols, suffix = list(self.columns), self.suffix
+        seq_cols = list(seq)
+        out_schema = T.StructType(
+            list(df.schema)
+            + [T.StructField(f"{c}_{suffix}", T.DoubleType()) for c in cols]
+        )
+
+        def per_group(tbl: "pa.Table") -> "pa.Table":
+            tbl = tbl.sort_by(
+                [(c, "ascending") for c in seq_cols], null_placement="at_start"
+            )
+            for c in cols:
+                med = tbl[c].to_pandas().expanding().median().to_numpy()
+                # NaN (empty expanding window) → Arrow NULL, matching
+                # the window-percentile path and the SQL oracles
+                arr = pa.array(med, type=pa.float64(), mask=np.isnan(med))
+                tbl = tbl.append_column(f"{c}_{suffix}", arr)
+            return tbl
+
+        return df.groupBy(*groups).applyInArrow(per_group, schema=out_schema)

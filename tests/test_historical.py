@@ -3,12 +3,13 @@ tests/test_steps.py:127–154 re-expressed; oracle = the reference's own
 pandas-backend semantics: groupby(id).expanding() with skipna)."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
 from recipys_spark import Accumulator, Recipe
 from recipys_spark.operators import StepHistorical
-from recipys_spark.selector import all_numeric_predictors
+from recipys_spark.selector import all_numeric_predictors, all_of
 
 from tests.conftest import collect_sorted, make_example_pdf
 
@@ -204,3 +205,34 @@ def test_median_null_keys_survive_both_paths(spark):
         b["x1_median"].to_numpy(dtype=float),
         equal_nan=True,
     )
+
+
+def test_median_ship_paths_identical(spark, example_df_nan):
+    """full-row applyInArrow ≡ narrow+join applyInPandas ≡ window
+    percentile expression, including NULL normalization and NULL
+    sequence keys; and the auto policy routes by passthrough width."""
+    from pyspark.sql import functions as F
+
+    def run(**kw):
+        rec = Recipe(
+            example_df_nan, predictors=["x1"], groups="id", sequences="time"
+        ).add_step(
+            StepHistorical(sel=all_of(["x1"]), fun=Accumulator.MEDIAN, **kw)
+        )
+        return rec.prep().orderBy("id", "time").toPandas()
+
+    full = run(median_ship="full")
+    narrow = run(median_ship="narrow")
+    window = run(median_via_pandas=False)
+    pd.testing.assert_frame_equal(full, narrow)
+    pd.testing.assert_frame_equal(full, window)
+
+    s = StepHistorical(sel=all_of(["x1"]), fun=Accumulator.MEDIAN)
+    # example frame carries string columns x3/x4 → auto ships narrow
+    assert not s._median_ship_full(example_df_nan, ["id"], ["time"])
+    numeric_only = example_df_nan.select("id", "time", "x1", "y")
+    assert s._median_ship_full(numeric_only, ["id"], ["time"])
+    with pytest.raises(ValueError, match="median_ship"):
+        StepHistorical(sel=all_of(["x1"]), fun=Accumulator.MEDIAN, median_ship="bogus")
+    with pytest.raises(ValueError, match="median_ship"):
+        StepHistorical(sel=all_of(["x1"]), fun=Accumulator.MAX, median_ship="full")
