@@ -925,6 +925,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_wav_decode"] = media_wav_decode
 
+    # REAL DCT-compressed tier: baseline JPEG (pure numpy Huffman+IDCT,
+    # operators/jpeg.py) over genuine JFIF payloads cycling 4:4:4 /
+    # 4:2:0 / restart-marker variants → rows-only (no JPEG codec in
+    # DuckDB). This was the repo's last stubbed decode format.
+    def media_jpeg_decode(s, d):
+        from recipys_spark.operators.multimodal import (
+            extract_features,
+            jpeg_decoder,
+            synthetic_jpegs,
+        )
+
+        return extract_features(
+            synthetic_jpegs(s, n=200, size=16), decoder=jpeg_decoder
+        ).select(
+            "media_id", F.round(F.element_at("features", 1), 6).alias("f0")
+        )
+
+    q["multimodal_jpeg_decode"] = media_jpeg_decode
+
     return _driver_window_order(q)
 
 
@@ -947,6 +966,7 @@ _DEFER_TO_BACK = [
     "multimodal_real_decode",
     "multimodal_png_decode",
     "multimodal_wav_decode",
+    "multimodal_jpeg_decode",
 ]
 
 _DRIVER_WINDOW = 50

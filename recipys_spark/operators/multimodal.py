@@ -18,12 +18,16 @@ Decode tiers:
   (``decode_wav``) with a 16-dim feature extractor (duration, RMS,
   peak, zero-crossing rate, spectral band energies) and a fixture
   encoder + sine-tone generator (``synthetic_wavs``).
-- **stubbed**: JPEG/video. Those codecs are not in this
-  container; ``codec_decoder`` routes PNG/WAV to the real tiers and
-  raises NotImplementedError with wiring instructions for the rest, and
+- **real (compressed, DCT)**: baseline sequential JPEG via the pure
+  numpy/stdlib codec in ``operators/jpeg.py`` (Annex K tables read from
+  the file, 4:4:4/4:2:2/4:2:0 sampling, restart markers; progressive
+  rejected with a clear error) and a matching fixture encoder.
+- **stubbed**: video only. Those codecs are not in this container;
+  ``codec_decoder`` routes PNG/WAV/JPEG to the real tiers and raises
+  NotImplementedError with wiring instructions for video, and
   ``deterministic_fake_decoder`` produces seeded features from the
   payload hash so the plumbing — schema, partitioning, UDF signature,
-  batch shape — stays real and tested for those kinds too.
+  batch shape — stays real and tested for that kind too.
 """
 
 from __future__ import annotations
@@ -98,17 +102,79 @@ def deterministic_fake_decoder(payload: bytes) -> np.ndarray:
 
 
 def codec_decoder(payload: bytes) -> np.ndarray:
-    """Format decode dispatch by magic bytes: PNG and WAV (RIFF PCM)
-    are decoded for real (pure stdlib, below); JPEG/video still need
-    external codec libraries not present in this container."""
+    """Format decode dispatch by magic bytes: PNG, WAV (RIFF PCM) and
+    baseline JPEG are decoded for real (pure numpy/stdlib, below and in
+    operators/jpeg.py); video still needs external codec libraries not
+    present in this container."""
     if payload and payload[:8] == PNG_MAGIC:
         return png_decoder(payload)
     if payload and payload[:4] == WAV_MAGIC:
         return wav_decoder(payload)
+    if payload and payload[:2] == JPEG_MAGIC_BYTES:
+        return jpeg_decoder(payload)
     raise NotImplementedError(
-        "JPEG/video decode needs codec libraries not present in this "
-        "container; wire Pillow/torchvision here and keep the same signature."
+        "video decode needs codec libraries not present in this "
+        "container; wire torchvision/PyAV here and keep the same signature."
     )
+
+
+# -- real compressed tier: baseline JPEG, pure numpy (operators/jpeg.py) ----
+
+from recipys_spark.operators.jpeg import (  # noqa: E402
+    JPEG_MAGIC as JPEG_MAGIC_BYTES,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def jpeg_decoder(payload: bytes, resize_to: "tuple[int, int] | None" = (8, 8)):
+    """Real baseline-JPEG decode → optional resize → features (the JPEG
+    analog of png_decoder; gray images are promoted by image_features)."""
+    img = decode_jpeg(payload)
+    if resize_to is not None:
+        img = resize_nearest(img, *resize_to)
+    return image_features(img)
+
+
+def synthetic_jpegs(spark: SparkSession, n: int = 100, size: int = 16) -> DataFrame:
+    """MEDIA_SCHEMA table whose payloads are REAL baseline JFIF bytes
+    (same deterministic gradient+stripe pattern as synthetic_pngs),
+    generated executor-side via mapInPandas — rows cycle through 4:4:4,
+    4:2:0, and restart-marker variants so the decoder's MCU and resync
+    paths are all exercised by the driver query."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                yy, xx = np.mgrid[0:size, 0:size]
+                r = (xx * 255 // max(size - 1, 1)).astype(np.uint8)
+                g = (yy * 255 // max(size - 1, 1)).astype(np.uint8)
+                b = (((xx + yy + int(mid)) % 8) * 32).astype(np.uint8)
+                img = np.stack([r, g, b], axis=-1)
+                sub = "420" if int(mid) % 2 else "444"
+                rst = int(mid) % 3  # 0 = no restarts
+                rows.append(
+                    encode_jpeg(img, quality=85, subsampling=sub, restart_interval=rst)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["id"],
+                    "kind": "image",
+                    "payload": rows,
+                    "meta": [
+                        {
+                            "mime": "image/jpeg",
+                            "width": size,
+                            "height": size,
+                            "duration_ms": 0,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 # -- real compressed tier: PNG, pure stdlib --------------------------------

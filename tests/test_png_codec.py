@@ -151,8 +151,13 @@ def test_codec_decoder_routes_png_and_stubs_rest():
     assert feats.shape == (FEATURE_DIM,)
     expect = image_features(resize_nearest(img, 8, 8))
     np.testing.assert_allclose(feats, expect)
-    with pytest.raises(NotImplementedError):
+    # JPEG magic now routes to the real baseline decoder (a garbage
+    # body is a ValueError there, not a stub); unknown magic = video
+    # tier, still the documented stub
+    with pytest.raises(ValueError):
         codec_decoder(b"\xff\xd8\xff jpeg-ish")
+    with pytest.raises(NotImplementedError):
+        codec_decoder(b"\x00\x00\x00\x18ftypmp42 video-ish")
 
 
 def test_png_decoder_rgba_drops_alpha():

@@ -49,8 +49,10 @@ def test_codec_dispatch_and_stub():
     payload = encode_wav(x, 8000)
     feats = codec_decoder(payload)
     assert feats.shape == (FEATURE_DIM,)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # JPEG magic → real decoder now
         codec_decoder(b"\xff\xd8\xff\xe0 fake jpeg header")
+    with pytest.raises(NotImplementedError):  # video stays the stub
+        codec_decoder(b"\x00\x00\x00\x18ftypmp42 video-ish")
 
 
 def test_wav_spark_end_to_end_partitioning_invariant(spark):
