@@ -60,6 +60,7 @@ from recipys_spark.operators.similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
     quantize_embeddings,
+    recommend_lsh_params,
 )
 from recipys_spark.operators.textstats import (
     StepGopherSignals,
@@ -117,6 +118,7 @@ __all__ = [
     "minhash_dedup",
     "minhash_lsh_pairs",
     "quantize_embeddings",
+    "recommend_lsh_params",
     "range_join",
     "simhash_clusters",
     "time_rollup",

@@ -248,13 +248,53 @@ def hyperplane_signature_udf(n_planes: int, dim: int, seed: int = 42,
     return sig
 
 
+def recommend_lsh_params(
+    corpus_rows: int,
+    dim: int,
+    target_bucket_rows: int = 4_000,
+    target_recall_tables: bool = True,
+) -> dict:
+    """Executable form of the sizing guidance in ``lsh_cosine_topk``'s
+    docstring (the advisor mirror of skew.recommend_skew_bucket_size —
+    the formulas previously only lived as prose).
+
+    - ``n_planes = clamp(ceil(log2(corpus_rows / target_bucket_rows)),
+      4, 62)``: bounds expected bucket size (the per-probe join
+      fan-out) at target_bucket_rows ~ 10^3–10^4. 10^6 vectors → 8,
+      10^9 → 18, 10^11 → 25.
+    - ``n_tables``: the OR-construction that buys back the recall the
+      extra planes cost — 1 below 12 planes, then +1 per ~4 planes,
+      capped at 8 (candidate volume grows linearly with it).
+    - ``vectorized``: the planes×dim node-count gate, precomputed.
+
+    Returns {"n_planes", "n_tables", "vectorized",
+    "expected_bucket_rows"} — splat into ``lsh_cosine_topk(**params)``
+    or read fields individually. Threaded automatically when
+    ``lsh_cosine_topk(n_planes=None)``."""
+    import math
+
+    if corpus_rows < 0 or dim < 1:
+        raise ValueError("corpus_rows must be >= 0 and dim >= 1")
+    if target_bucket_rows < 1:
+        raise ValueError("target_bucket_rows must be >= 1")
+    ratio = max(corpus_rows, 1) / target_bucket_rows
+    n_planes = min(62, max(4, math.ceil(math.log2(ratio)) if ratio > 1 else 4))
+    n_tables = min(8, max(1, 1 + max(0, n_planes - 12) // 4)) if target_recall_tables else 1
+    return {
+        "n_planes": n_planes,
+        "n_tables": n_tables,
+        "vectorized": n_planes * dim >= VECTORIZE_EXPR_NODES,
+        "expected_bucket_rows": max(1, corpus_rows >> n_planes),
+    }
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 10,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 8,
+    n_planes: Optional[int] = 8,
     dim: int = 64,
     multiprobe: bool = True,
     seed: int = 42,
@@ -288,6 +328,13 @@ def lsh_cosine_topk(
     """
     if n_tables < 1:
         raise ValueError("n_tables must be >= 1")
+    if n_planes is None:
+        # auto-size from a one-off count probe (fit-time, bounded):
+        # the recommend_lsh_params formulas, threaded
+        params = recommend_lsh_params(corpus.count(), dim)
+        n_planes, n_tables = params["n_planes"], params["n_tables"]
+        if vectorized is None:
+            vectorized = params["vectorized"]
     if weights is not None:
         # explicit literal planes (the SQL-mirrorable form): one table
         if n_tables != 1:

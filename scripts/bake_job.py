@@ -1,5 +1,13 @@
-"""spark-submit entry point: synthesize transcripts, run the flagship
-recipe-bake, print turns/sec. The engine arrives via --py-files."""
+"""spark-submit entry point: run the flagship recipe-bake, print
+turns/sec. The engine arrives via --py-files (the north-rule launch
+path; see scripts/spark_submit_bake.sh).
+
+Protocol matches bench_scaling.py: pre-written parquet input
+(--input; falls back to inline synthesis with --convs for smoke runs),
+untimed warmup materializations, best-of-N timed noop-sink
+materializations (count() would let Catalyst prune the very window
+features being measured). Shuffle partitions come from the submit conf
+and must be FIXED across parallelism levels when measuring scaling."""
 
 import argparse
 import time
@@ -20,9 +28,15 @@ from recipys_spark.sources.io import synthetic_transcripts
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=100_000)
+    ap.add_argument("--input", default=None, help="pre-written transcript parquet")
+    ap.add_argument("--warmups", type=int, default=1)
+    ap.add_argument("--runs", type=int, default=1)
     args = ap.parse_args()
     spark = SparkSession.builder.getOrCreate()
-    df = synthetic_transcripts(spark, n_convs=args.convs, with_features=True)
+    if args.input:
+        df = spark.read.parquet(args.input)
+    else:
+        df = synthetic_transcripts(spark, n_convs=args.convs, with_features=True)
     rec = (
         Recipe(df, predictors=["value", "n_chars"], groups="conv_id",
                sequences=["turn_idx", "ts"])
@@ -31,11 +45,22 @@ def main() -> None:
         .add_step(StepLag(sel=all_of(["value"]), lags=(1,)))
         .add_step(StepSessionize(gap="30m"))
     )
-    t0 = time.time()
+    n = df.count()  # input size, outside the timed section
     out = rec.prep()
-    n = out.count()
-    wall = time.time() - t0
-    print(f"BAKE_RESULT turns={n} wall_s={wall:.2f} turns_per_sec={n / wall:.0f}")
+
+    def materialize():
+        out.write.format("noop").mode("overwrite").save()
+
+    for _ in range(args.warmups):
+        materialize()
+    walls = []
+    for _ in range(args.runs):
+        t0 = time.time()
+        materialize()
+        walls.append(time.time() - t0)
+    wall = min(walls)
+    print(f"BAKE_RESULT turns={n} wall_s={wall:.2f} turns_per_sec={n / wall:.0f} "
+          f"runs={[round(w, 2) for w in walls]}")
     spark.stop()
 
 

@@ -368,3 +368,59 @@ def test_topk_paths_agree_on_degenerate_corpus(spark):
         assert 2 not in ids, (vec, out)
         if 3 in ids:
             assert ids[0] != 3
+
+
+def test_recommend_lsh_params_sizing():
+    """The docstring formulas, executable (VERDICT r3 #7): bucket-size
+    bound drives n_planes; n_tables buys recall back above 12 planes;
+    the vectorize gate matches the planes×dim node count."""
+    from recipys_spark.operators.similarity import recommend_lsh_params
+
+    p6 = recommend_lsh_params(10**6, dim=64)
+    assert p6["n_planes"] == 8 and p6["n_tables"] == 1
+    assert p6["expected_bucket_rows"] <= 4_000
+    p9 = recommend_lsh_params(10**9, dim=768)
+    assert p9["n_planes"] == 18 and p9["n_tables"] >= 2
+    assert p9["vectorized"]  # 18*768 >> 4096
+    p11 = recommend_lsh_params(10**11, dim=768)
+    assert 24 <= p11["n_planes"] <= 27 and p11["n_tables"] <= 8
+    # floors and caps
+    assert recommend_lsh_params(10, dim=4)["n_planes"] == 4
+    assert recommend_lsh_params(2**80, dim=4)["n_planes"] == 62
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        recommend_lsh_params(-1, dim=4)
+    with _pytest.raises(ValueError):
+        recommend_lsh_params(100, dim=4, target_bucket_rows=0)
+
+
+def test_lsh_autosized_params_recall(spark):
+    """n_planes=None end to end: the auto-chosen params must recover
+    most of the brute-force top-1 neighbors on the real embeddings
+    table (recall tested against cosine_topk)."""
+    from pyspark.sql import functions as F
+
+    from recipys_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant genuine near-neighbors: each query is a corpus vector with
+    # one element nudged (cosine ≈ 0.99+) — the workload ANN exists
+    # for; on unplanted random noise (max pairwise cosine ~0.5) recall
+    # is intrinsically weak for ANY bucketing scheme and proves nothing
+    queries = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.05) * F.abs(x) + F.lit(0.01))
+            .otherwise(x),
+        ).alias("embedding"),
+    )
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(queries, emb, k=1).collect()
+    }
+    approx = lsh_cosine_topk(queries, emb, k=1, n_planes=None).collect()
+    got = {r.query_id: r.neighbor_id for r in approx}
+    hits = sum(1 for q, n in exact.items() if got.get(q) == n)
+    assert hits >= len(exact) * 0.9, (hits, len(exact))
