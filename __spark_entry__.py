@@ -862,6 +862,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_quantize"] = embedding_quantize
 
+    # -- training-data assembly tier (operators/packing.py) ------------------------
+    # deterministic hash sampling: reproducible at any partitioning /
+    # cluster size (df.sample is neither); md5 coin → full DuckDB mirror
+    def hash_sample(s, d):
+        from recipys_spark.operators.packing import deterministic_sample
+
+        return deterministic_sample(
+            _t(s, d, "documents"), 0.25, ["doc_id"]
+        ).select("doc_id", "source")
+
+    q["hash_sample"] = hash_sample
+
+    # domain-mixture reweighting: per-source rates incl. >1 (duplication
+    # via floor(r) copies + frac(r) coin) in one shuffle-free pass
+    def domain_mix(s, d):
+        from recipys_spark.operators.packing import weighted_domain_sample
+
+        return weighted_domain_sample(
+            _t(s, d, "documents"),
+            rates={"src1": 0.5, "src2": 2.25, "src3": 1.0},
+            domain_col="source",
+            key_cols=["doc_id"],
+        ).select("doc_id", "source", "sample_copy")
+
+    q["domain_mix"] = domain_mix
+
+    # concat-and-chunk sequence packing: two-phase parallel prefix sum
+    # (range partitions + bounded totals collect), never a
+    # single-partition window; one row per doc × training sequence
+    def pack_seqs(s, d):
+        from recipys_spark.operators.packing import pack_sequences
+
+        docs = _t(s, d, "documents").select(
+            "doc_id", TX.token_count(F.col("text")).alias("n_tokens")
+        )
+        return pack_sequences(docs, seq_len=512)
+
+    q["pack_sequences"] = pack_seqs
+
+    # token-window document chunking with overlap (stride < window) —
+    # the pre-embedding splitter; pure JVM sequence/slice/array_join
+    def chunk_docs(s, d):
+        from recipys_spark.operators.packing import chunk_documents
+
+        return chunk_documents(
+            _t(s, d, "documents").select("doc_id", "text"),
+            max_tokens=50,
+            stride=40,
+        )
+
+    q["chunk_documents"] = chunk_docs
+
     # -- multimodal plumbing (stubbed decode) → rows-only ---------------------------
     def media_features(s, d):
         return extract_features(synthetic_media(s, n=200)).select(
@@ -944,6 +996,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_jpeg_decode"] = media_jpeg_decode
 
+    # real BPE (Sennrich merges trained distributed-then-driver, greedy
+    # rank apply in an Arrow pandas_udf) → rows-only: the merge loop is
+    # not SQL-expressible; pytest pins the textbook merges and the
+    # exact-reconstruction invariant (tests/test_bpe.py)
+    def bpe_real(s, d):
+        from recipys_spark.operators.bpe import bpe_token_count, train_bpe
+
+        docs = _t(s, d, "documents")
+        merges = train_bpe(docs, num_merges=60)
+        return bpe_token_count(docs, merges).select("doc_id", "text_n_bpe")
+
+    q["bpe_real_token_count"] = bpe_real
+
     return _driver_window_order(q)
 
 
@@ -962,6 +1027,11 @@ _DEFER_TO_BACK = [
     "date_parts",
     "set_ops",
     "cube_counts",
+    "missing_indicator",
+    "resample_2h_last",
+    "asof_join_tolerance",
+    "session_stats",
+    "bpe_real_token_count",
     "multimodal_features",
     "multimodal_real_decode",
     "multimodal_png_decode",
@@ -1670,7 +1740,59 @@ def oracle_sql() -> dict[str, str]:
         ") WHERE cosine >= 0.0"
     )
 
+    # -- training-data assembly mirrors (operators/packing.py) --------------
+    # the md5 sampling coin: 60-bit hex prefix of md5(key || '#seed'),
+    # mod 10^9 — identical arithmetic on both engines
+    _coin = (
+        "CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), "
+        "'#42')), 1, 15)) AS BIGINT) % 1000000000"
+    )
+    o["hash_sample"] = (
+        f"SELECT doc_id, source FROM documents WHERE {_coin} < 250000000"
+    )
+    o["domain_mix"] = (
+        "WITH r AS (SELECT doc_id, source, "
+        "CASE source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 2.25 "
+        "WHEN 'src3' THEN 1.0 ELSE 0.0 END AS rate, "
+        f"{_coin} AS coin FROM documents), "
+        "c AS (SELECT doc_id, source, "
+        "CAST(floor(rate) AS INT) + CASE WHEN coin < (rate - floor(rate)) "
+        "* 1000000000 THEN 1 ELSE 0 END AS copies FROM r) "
+        "SELECT doc_id, source, CAST(u.sample_copy AS INT) AS sample_copy "
+        "FROM c, LATERAL unnest(generate_series(1, copies)) AS u(sample_copy) "
+        "WHERE copies > 0"
+    )
+    _ntok = r"len(regexp_split_to_array(trim(lower(text)), '\s+'))"
+    o["pack_sequences"] = (
+        f"WITH d AS (SELECT doc_id, CAST({_ntok} AS BIGINT) AS n FROM documents), "
+        "d2 AS (SELECT doc_id, n FROM d WHERE n > 0), "
+        "c AS (SELECT doc_id, n, CAST(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e FROM d2), "
+        "s AS (SELECT doc_id, n, e, e - n AS st FROM c) "
+        "SELECT doc_id, u.seq_id, "
+        "CAST(GREATEST(st - u.seq_id * 512, 0) AS BIGINT) AS seq_start, "
+        "CAST(GREATEST(u.seq_id * 512 - st, 0) AS BIGINT) AS doc_start, "
+        "CAST(LEAST((u.seq_id + 1) * 512 - st, n) AS BIGINT) AS doc_end "
+        "FROM s, LATERAL unnest(generate_series(st // 512, (e - 1) // 512)) "
+        "AS u(seq_id)"
+    )
+    o["chunk_documents"] = (
+        r"WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), "
+        r"'\s+') AS toks FROM documents), "
+        "n AS (SELECT doc_id, toks, len(toks) AS n FROM t), "
+        "c AS (SELECT doc_id, toks, n, CASE WHEN n > 0 THEN "
+        "CAST(ceil(GREATEST(n - 50, 0) / 40.0) AS BIGINT) + 1 ELSE 0 END AS nc "
+        "FROM n) "
+        "SELECT doc_id, CAST(u.chunk_idx AS INT) AS chunk_idx, "
+        "array_to_string(toks[u.chunk_idx * 40 + 1 : u.chunk_idx * 40 + 50], ' ') "
+        "AS chunk_text, "
+        "CAST(LEAST(n - u.chunk_idx * 40, 50) AS INT) AS chunk_n_tokens "
+        "FROM c, LATERAL unnest(generate_series(0, nc - 1)) AS u(chunk_idx) "
+        "WHERE nc > 0"
+    )
+
     # no oracles (UDF decode plumbing — no decoder in DuckDB):
     # multimodal_features, multimodal_real_decode, multimodal_png_decode,
-    # multimodal_wav_decode
+    # multimodal_wav_decode, multimodal_jpeg_decode; bpe_real_token_count
+    # (the BPE merge loop is not SQL-expressible — pytest pins it)
     return o

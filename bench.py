@@ -66,6 +66,12 @@ HEADLINE = [
     "ann_cosine_topk",
     "embedding_quantize",
     "spline_basis",
+    "hash_sample",
+    "domain_mix",
+    "pack_sequences",
+    "chunk_documents",
+    "bpe_real_token_count",
+    "multimodal_jpeg_decode",
 ]
 
 # transcript volume for the recipe-bake throughput number. 1M convs

@@ -53,6 +53,17 @@ from recipys_spark.operators.fingerprint import (
     winnow_fingerprints,
     winnow_overlap_pairs,
 )
+from recipys_spark.operators.bpe import (
+    bpe_encode,
+    bpe_token_count,
+    train_bpe,
+)
+from recipys_spark.operators.packing import (
+    chunk_documents,
+    deterministic_sample,
+    pack_sequences,
+    weighted_domain_sample,
+)
 from recipys_spark.operators.rangejoin import range_join
 from recipys_spark.operators.similarity import (
     cosine_topk,
@@ -110,6 +121,10 @@ __all__ = [
     "clean_corpus",
     "cosine_topk",
     "dequantize_embeddings",
+    "bpe_encode",
+    "bpe_token_count",
+    "chunk_documents",
+    "deterministic_sample",
     "exact_dedup",
     "gopher_signals",
     "ivf_cosine_topk",
@@ -117,8 +132,11 @@ __all__ = [
     "lsh_cosine_topk",
     "minhash_dedup",
     "minhash_lsh_pairs",
+    "pack_sequences",
     "quantize_embeddings",
     "recommend_lsh_params",
+    "train_bpe",
+    "weighted_domain_sample",
     "range_join",
     "simhash_clusters",
     "time_rollup",

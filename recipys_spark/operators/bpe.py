@@ -1,0 +1,172 @@
+"""Byte-pair encoding: real subword tokenization for token accounting.
+
+functions/text.py's ``token_count`` (whitespace + BPE-ish regex) is the
+cheap JVM estimator; this module is the real thing — a trained merges
+table applied greedily by rank, the Sennrich et al. 2015 algorithm
+(arXiv 1508.07909) every modern tokenizer descends from. A 100 TB
+pipeline needs it for exact token budgets, sequence packing inputs
+(operators/packing.py) and per-document cost attribution.
+
+- ``train_bpe``: distributed word-frequency aggregation (one groupBy —
+  the only part that touches the full corpus), then the classic merge
+  loop on the driver over the bounded top-``max_words`` vocabulary
+  (deterministic tie-breaks ⇒ same merges at any cluster size).
+- ``bpe_encode`` / ``bpe_token_count``: Arrow ``pandas_udf`` applying
+  the broadcast-by-closure merges with an LRU word cache per batch —
+  word frequency follows Zipf, so the cache hit rate is ~99% on
+  natural text and the per-row cost is a dict lookup.
+
+Fitted state is a plain list of string pairs — JSON-serializable,
+Recipe.save_state-friendly, reusable across corpora (train once on a
+reference corpus, apply everywhere — the production pattern).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pandas as pd  # type hints of the Arrow encode UDF
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word marker (Sennrich): keeps merges word-internal
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 200,
+    max_words: int = 50_000,
+) -> list:
+    """Learn ``num_merges`` BPE merges from a corpus.
+
+    Phase 1 (distributed, the only full-corpus pass): explode tokens,
+    groupBy word counts, keep the top ``max_words`` by (count desc,
+    word) — a bounded, deterministic driver collect (Zipf: the tail
+    beyond 50k word types carries negligible pair mass).
+    Phase 2 (driver): the classic greedy loop — repeatedly merge the
+    most frequent adjacent symbol pair; ties break lexicographically
+    so training is reproducible at any parallelism.
+
+    Returns the merges as a list of (left, right) tuples, in learned
+    order (= rank)."""
+    from recipys_spark.functions.text import tokens
+
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    rows = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), "w")
+        .limit(max_words)
+        .collect()
+    )
+    vocab = {tuple(r["w"]) + (END,): r["count"] for r in rows}
+    merges: list = []
+    for _ in range(num_merges):
+        pairs: dict = {}
+        for word, cnt in vocab.items():
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                pairs[p] = pairs.get(p, 0) + cnt
+        if not pairs:
+            break
+        # deterministic tie-break: highest count, then lexicographically
+        # smallest pair — reproducible merges at any parallelism
+        pair, count = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if count < 2:
+            break  # no pair repeats — further merges are noise
+        merged = pair[0] + pair[1]
+        new_vocab = {}
+        for word, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == pair[0] and word[i + 1] == pair[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+        merges.append(pair)
+    return merges
+
+
+def _encode_word(word: str, ranks: dict) -> list:
+    """Greedy rank-based BPE apply (the GPT-2/HF algorithm): repeatedly
+    merge the lowest-rank adjacent pair until none applies. Produces
+    the same segmentation as replaying merges in learned order."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode_udf(merges: Sequence):
+    """pandas_udf: text -> array of BPE subword tokens (END-marked).
+    The merges table rides the closure (a 50k-merge vocab is ~1 MB);
+    an unbounded per-batch word cache exploits Zipf."""
+    import re
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    # mirrors functions/text.tokens: split(trim(lower(text)), r"\s+") —
+    # train and apply MUST share the word segmentation
+    splitter = re.compile(r"\s+")
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks: list = []
+            for w in splitter.split(t.lower().strip()):
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    got = _encode_word(w, ranks)
+                    cache[w] = got
+                toks.extend(got)
+            out.append(toks)
+        return pd.Series(out, dtype=object)
+
+    return enc
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: Sequence,
+    text_col: str = "text",
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Append ``{text_col}_bpe`` (array<string> of subword tokens)."""
+    out_col = out_col or f"{text_col}_bpe"
+    return df.withColumn(out_col, bpe_encode_udf(merges)(F.col(text_col)))
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: Sequence,
+    text_col: str = "text",
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Append ``{text_col}_n_bpe`` — the EXACT subword count under the
+    trained merges (functions/text.token_count is the cheap estimator;
+    this is the budget number a training run bills by)."""
+    out_col = out_col or f"{text_col}_n_bpe"
+    return df.withColumn(
+        out_col, F.size(bpe_encode_udf(merges)(F.col(text_col)))
+    )

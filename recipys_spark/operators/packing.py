@@ -1,0 +1,263 @@
+"""Training-data assembly: deterministic sampling, domain mixing,
+concat-and-chunk sequence packing, document chunking.
+
+The tier between curation (operators/corpus.py) and the training job:
+after cleaning a 100 TB corpus you (a) downsample / re-weight domains
+to the target mixture, (b) chunk long documents, (c) pack everything
+into fixed-length training sequences. All four operators are pure JVM
+expressions (no UDF, no driver loop over data) with exact SQL mirrors.
+
+Determinism rule (the engine's): every operator here is a pure
+function of row CONTENT — hash-based sampling and id-ordered packing
+give byte-identical output at any partitioning or cluster size, unlike
+``df.sample`` (seeded per-partition → changes under repartition).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: modulus for the md5-based sampling hash: the first 15 hex chars
+#: (60 bits) of md5, mod 10^9 — uniform to ~1e-9, and every operation
+#: (md5, substring, base-16 parse, mod, compare) has an exact ANSI-SQL
+#: mirror, so sampling decisions replay bit-identically in DuckDB.
+SAMPLE_MOD = 1_000_000_000
+
+
+def sample_hash(cols: Sequence, seed: int = 42):
+    """Uniform [0, SAMPLE_MOD) hash of the key columns — the sampling
+    coin. md5 of the '|'-joined key + seed (cross-engine mirrorable;
+    the xxhash64 family would be JVM-only)."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols])
+    h = F.md5(F.concat(key, F.lit(f"#{seed}")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(SAMPLE_MOD)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    key_cols: Sequence[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Keep each row iff hash(key) < rate — a deterministic Bernoulli
+    sample that is reproducible across cluster sizes, repartitions and
+    engines (``df.sample`` is none of those: its per-partition RNG
+    changes membership whenever partitioning does). Zero shuffle: a
+    filter that fuses into the scan.
+
+    ``key_cols`` must identify the sampling unit (doc id for
+    per-document, conv_id for per-conversation — keying on conv_id
+    keeps WHOLE conversations, the leakage-safe unit for transcript
+    corpora)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return df.where(sample_hash(key_cols, seed) < F.lit(int(rate * SAMPLE_MOD)))
+
+
+def weighted_domain_sample(
+    df: DataFrame,
+    rates: dict,
+    domain_col: str,
+    key_cols: Sequence[str],
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-domain sampling rates in one pass — the domain-mixture
+    reweighting every pretraining corpus build runs (e.g. {"web": 0.1,
+    "code": 1.0, "wiki": 3.0} — rates > 1 mean duplication: floor(r)
+    full copies plus a frac(r) coin, emitted via explode of a
+    repeat-count array, still deterministic and shuffle-free).
+
+    Unmatched domains get ``default_rate`` (0 = drop — explicit
+    allowlisting, the safe default for a curated mixture)."""
+    for d, r in rates.items():
+        if r < 0:
+            raise ValueError(f"negative rate for domain {d!r}")
+    if default_rate < 0:
+        raise ValueError("default_rate must be >= 0")
+    coin = sample_hash(key_cols, seed)
+    rate_expr = F.lit(float(default_rate))
+    for d, r in sorted(rates.items()):
+        rate_expr = F.when(F.col(domain_col) == d, F.lit(float(r))).otherwise(rate_expr)
+    whole = F.floor(rate_expr).cast("int")
+    frac = rate_expr - whole
+    copies = whole + (coin < frac * F.lit(SAMPLE_MOD)).cast("int")
+    out = df.withColumn("__copies", copies).where(F.col("__copies") > 0)
+    return (
+        out.withColumn(
+            "sample_copy", F.explode(F.sequence(F.lit(1), F.col("__copies")))
+        )
+        .drop("__copies")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Concat-and-chunk packing: lay all documents end to end in
+    ``id_col`` order and cut every ``seq_len`` tokens — the standard
+    pretraining sample-packing scheme (GPT-style). Returns one row per
+    (document × training sequence) slice:
+
+    - ``seq_id``   — which fixed-length training sequence,
+    - ``seq_start``— where this doc's slice begins inside it,
+    - ``doc_start``/``doc_end`` — the [start, end) token range of the
+      doc contributing to this sequence (docs spanning a boundary emit
+      one row per sequence they touch).
+
+    Zero-token docs are dropped (they occupy no positions).
+
+    Scale shape — the global running total is a textbook two-phase
+    parallel prefix sum, NOT a single-partition window (which would
+    serialize 10^12 tokens through one task). For numeric ids (the
+    common case): one ``percentile_approx`` probe yields
+    ``num_partitions - 1`` LITERAL cut points (the sketch is
+    deterministic), each row's bucket is a pure expression of its own
+    id, a per-bucket windowed cumsum runs in parallel, and one bounded
+    collect of the per-bucket totals turns into literal offsets — the
+    boundaries live in the plan, so the two jobs can never disagree.
+    Non-numeric ids fall back to range partitioning pinned with a
+    localCheckpoint (same algorithm, boundaries from the range
+    partitioner instead of literals). Either way the result depends
+    only on the id ORDER, not on where the boundaries fall."""
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    spark = df.sparkSession
+    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from pyspark.sql import Window, types as T
+
+    base = df.select(id_col, F.col(token_col).cast("long").alias("__n")).where(
+        F.col("__n") > 0
+    )
+    numeric_id = isinstance(base.schema[id_col].dataType, T.NumericType)
+    if numeric_id and nparts > 1:
+        fracs = [i / nparts for i in range(1, nparts)]
+        cuts = base.agg(
+            F.percentile_approx(F.col(id_col), F.array(*[F.lit(f) for f in fracs]))
+        ).first()[0] or []
+        # strictly increasing literal cuts; duplicates (low-cardinality
+        # ids) collapse — fewer, bigger buckets, still correct
+        uniq = sorted(set(float(c) for c in cuts))
+        bucket = F.lit(0)
+        for c in uniq:
+            bucket = bucket + (F.col(id_col) > F.lit(c)).cast("int")
+        staged = base.withColumn("__pid", bucket)
+    else:
+        staged = base.repartitionByRange(max(nparts, 1), F.col(id_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    w = Window.partitionBy("__pid").orderBy(id_col)
+    local = staged.withColumn("__local_end", F.sum("__n").over(w))
+    if not (numeric_id and nparts > 1):
+        # range-partitioner boundaries are re-derived per job — pin the
+        # materialized frame so the totals collect below and the
+        # returned plan see identical __pid assignments
+        local = local.localCheckpoint(eager=True)
+    # bounded driver collect: one (pid, total, min_id) triple per
+    # bucket; offsets are the running totals in id (== bucket) order,
+    # so the global prefix is independent of boundary placement
+    totals = (
+        local.groupBy("__pid")
+        .agg(F.max("__local_end").alias("t"), F.min(id_col).alias("m"))
+        .collect()
+    )
+    totals.sort(key=lambda r: r["m"])
+    offsets, acc = {}, 0
+    for r in totals:
+        offsets[r["__pid"]] = acc
+        acc += r["t"]
+    off = F.coalesce(
+        *[
+            F.when(F.col("__pid") == p, F.lit(o))
+            for p, o in offsets.items()
+        ]
+    ) if offsets else F.lit(0)
+    g = local.select(
+        id_col,
+        "__n",
+        (F.col("__local_end") + off).alias("__end"),
+    ).withColumn("__start", F.col("__end") - F.col("__n"))
+    first = (F.col("__start") / seq_len).cast("long")
+    last = ((F.col("__end") - 1) / seq_len).cast("long")
+    return (
+        g.withColumn("seq_id", F.explode(F.sequence(first, last)))
+        .select(
+            id_col,
+            "seq_id",
+            F.greatest(F.col("__start") - F.col("seq_id") * seq_len, F.lit(0))
+            .cast("long")
+            .alias("seq_start"),
+            F.greatest(F.col("seq_id") * seq_len - F.col("__start"), F.lit(0))
+            .cast("long")
+            .alias("doc_start"),
+            F.least(
+                (F.col("seq_id") + 1) * seq_len - F.col("__start"), F.col("__n")
+            )
+            .cast("long")
+            .alias("doc_end"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    stride: Optional[int] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into token-window chunks of ``max_tokens`` with
+    optional overlap (``stride`` < max_tokens ⇒ overlapping windows,
+    the pre-embedding chunking every retrieval/similarity pipeline
+    runs; default stride = max_tokens ⇒ disjoint). Emits (id,
+    chunk_idx, chunk_text, chunk_n_tokens); documents shorter than one
+    window emit exactly one chunk. Pure JVM array ops (tokens →
+    sequence → slice → join), no UDF, fuses into the projection."""
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    stride = max_tokens if stride is None else stride
+    if not 1 <= stride <= max_tokens:
+        raise ValueError("stride must be in [1, max_tokens]")
+    from recipys_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2*stride, ... while start < n (empty
+    # docs emit no chunks); last chunk may be short
+    n_chunks = F.when(
+        n > 0, F.ceil((F.greatest(n - max_tokens, F.lit(0))) / F.lit(stride)) + 1
+    ).otherwise(F.lit(0))
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*others, toks.alias("__toks"), n_chunks.alias("__nc"))
+        .where(F.col("__nc") > 0)
+        .select(
+            *others,
+            F.explode(
+                F.sequence(F.lit(0), (F.col("__nc") - 1).cast("int"))
+            ).alias("chunk_idx"),
+            "__toks",
+        )
+        .select(
+            *others,
+            "chunk_idx",
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    F.col("chunk_idx") * stride + 1,
+                    max_tokens,
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.size("__toks") - F.col("chunk_idx") * stride, F.lit(max_tokens)
+            ).alias("chunk_n_tokens"),
+        )
+    )

@@ -1,0 +1,192 @@
+"""Training-data assembly tier (operators/packing.py): deterministic
+sampling, domain mixing, concat-and-chunk packing, document chunking.
+
+The scale-critical property under test: every operator is a pure
+function of row content — identical output at any partitioning (the
+engine's determinism rule; df.sample fails it)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from recipys_spark.functions.text import token_count
+from recipys_spark.operators.packing import (
+    SAMPLE_MOD,
+    chunk_documents,
+    deterministic_sample,
+    pack_sequences,
+    weighted_domain_sample,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_sample_deterministic_across_partitioning(spark):
+    docs = spark.read.parquet(DOCS)
+    a = sorted(r.doc_id for r in deterministic_sample(docs, 0.3, ["doc_id"]).collect())
+    b = sorted(
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(23), 0.3, ["doc_id"]).collect()
+    )
+    assert a == b and 0 < len(a) < 500
+
+
+def test_sample_rate_concentration(spark):
+    """md5 coin is uniform: the realized rate lands near the nominal
+    one (binomial bound, 500 rows, ±10 points is > 4 sigma)."""
+    docs = spark.read.parquet(DOCS)
+    for rate in (0.1, 0.5, 0.9):
+        n = deterministic_sample(docs, rate, ["doc_id"]).count()
+        assert abs(n / 500 - rate) < 0.1, (rate, n)
+    assert deterministic_sample(docs, 0.0, ["doc_id"]).count() == 0
+    assert deterministic_sample(docs, 1.0, ["doc_id"]).count() == 500
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, 1.5, ["doc_id"])
+
+
+def test_sample_nested_rates(spark):
+    """Hash coins are consistent: a 0.2 sample is a SUBSET of the 0.5
+    sample under the same key/seed — the property that lets a pipeline
+    carve train/calibration subsets without re-hashing."""
+    docs = spark.read.parquet(DOCS)
+    small = {r.doc_id for r in deterministic_sample(docs, 0.2, ["doc_id"]).collect()}
+    big = {r.doc_id for r in deterministic_sample(docs, 0.5, ["doc_id"]).collect()}
+    assert small <= big
+
+
+def test_weighted_domain_sample_semantics(spark):
+    docs = spark.read.parquet(DOCS)
+    out = weighted_domain_sample(
+        docs, {"src1": 0.5, "src2": 2.25}, "source", ["doc_id"]
+    )
+    pdf = out.groupBy("source").count().toPandas().set_index("source")["count"]
+    by_src = docs.groupBy("source").count().toPandas().set_index("source")["count"]
+    # src2 (rate 2.25): every doc gets >= 2 copies, ~25% get 3
+    assert pdf.get("src2", 0) >= 2 * by_src["src2"]
+    assert pdf.get("src2", 0) <= 3 * by_src["src2"]
+    # src1 (rate 0.5): roughly half survive (25 docs → wide bound)
+    assert abs(pdf.get("src1", 0) / by_src["src1"] - 0.5) < 0.3
+    # unlisted domains dropped by default_rate=0
+    kept_sources = set(pdf.index)
+    assert kept_sources <= {"src1", "src2"}
+    # sample_copy numbers each duplicate
+    wiki_copies = (
+        out.where(F.col("source") == "src2")
+        .groupBy("doc_id")
+        .agg(F.collect_set("sample_copy").alias("c"))
+        .collect()
+    )
+    for r in wiki_copies:
+        assert sorted(r.c) == list(range(1, len(r.c) + 1))
+    with pytest.raises(ValueError):
+        weighted_domain_sample(docs, {"src1": -1.0}, "source", ["doc_id"])
+
+
+def test_pack_sequences_invariants(spark):
+    docs = spark.read.parquet(DOCS).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, seq_len=512)
+    # 1. every token of every doc lands in exactly one slice
+    cover = (
+        packed.groupBy("doc_id")
+        .agg(F.sum(F.col("doc_end") - F.col("doc_start")).alias("t"))
+        .join(docs, "doc_id")
+    )
+    assert cover.where(F.col("t") != F.col("n_tokens")).count() == 0
+    # 2. no sequence overflows; all but the last are exactly full
+    fills = packed.groupBy("seq_id").agg(
+        F.sum(F.col("doc_end") - F.col("doc_start")).alias("fill")
+    )
+    assert fills.where(F.col("fill") > 512).count() == 0
+    mx = fills.agg(F.max("seq_id")).first()[0]
+    assert fills.where((F.col("fill") != 512) & (F.col("seq_id") != mx)).count() == 0
+    # 3. slice offsets are consistent: seq_start + (doc_end - doc_start)
+    #    never exceeds seq_len
+    assert (
+        packed.where(
+            F.col("seq_start") + F.col("doc_end") - F.col("doc_start") > 512
+        ).count()
+        == 0
+    )
+
+
+def test_pack_sequences_partition_invariant(spark):
+    """The two-phase prefix sum gives IDENTICAL packing regardless of
+    num_partitions or input partitioning — the property that makes it
+    safe at cluster scale."""
+    docs = spark.read.parquet(DOCS).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    a = pack_sequences(docs, 512, num_partitions=1).orderBy("doc_id", "seq_id").collect()
+    b = pack_sequences(docs.repartition(13), 512, num_partitions=7).orderBy(
+        "doc_id", "seq_id"
+    ).collect()
+    assert a == b and len(a) > 0
+
+
+def test_pack_sequences_zero_token_docs_dropped(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "n_tokens": [5, 0, 7]})
+    )
+    out = pack_sequences(df, seq_len=4).orderBy("doc_id", "seq_id").collect()
+    assert [r.doc_id for r in out] == [1, 1, 3, 3]
+    # doc 1: tokens 0..5 → seqs 0 (4 tokens) and 1 (1 token)
+    assert (out[0].doc_start, out[0].doc_end) == (0, 4)
+    assert (out[1].doc_start, out[1].doc_end) == (4, 5)
+    # doc 3 starts at global offset 5 (doc 2 occupies nothing)
+    assert out[2].seq_id == 1 and out[2].seq_start == 1
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Disjoint chunks (stride == window) concatenate back to the
+    normalized document; overlapping chunks cover every token."""
+    docs = spark.read.parquet(DOCS).select("doc_id", "text")
+    disjoint = chunk_documents(docs, max_tokens=50)
+    recon = (
+        # struct-sort, not orderBy+collect_list (whose order is not
+        # guaranteed through the aggregation shuffle)
+        disjoint.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("joined")
+        )
+        .join(
+            docs.select(
+                "doc_id",
+                F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ").alias("norm"),
+            ),
+            "doc_id",
+        )
+    )
+    assert recon.where(F.col("joined") != F.col("norm")).count() == 0
+
+    overlapped = chunk_documents(docs, max_tokens=50, stride=40)
+    tok_cover = overlapped.groupBy("doc_id").agg(
+        F.max(F.col("chunk_idx") * 40 + F.col("chunk_n_tokens")).alias("covered")
+    )
+    n = docs.select("doc_id", token_count(F.col("text")).alias("n"))
+    assert tok_cover.join(n, "doc_id").where(F.col("covered") < F.col("n")).count() == 0
+    # every full window has exactly max_tokens
+    assert overlapped.where(F.col("chunk_n_tokens") > 50).count() == 0
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=50, stride=60)
+
+
+def test_sample_hash_range(spark):
+    from recipys_spark.operators.packing import sample_hash
+
+    docs = spark.read.parquet(DOCS)
+    mm = docs.select(
+        F.min(sample_hash(["doc_id"])).alias("lo"),
+        F.max(sample_hash(["doc_id"])).alias("hi"),
+    ).first()
+    assert 0 <= mm.lo and mm.hi < SAMPLE_MOD
