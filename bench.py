@@ -160,6 +160,11 @@ def main() -> None:
         ).write.mode("overwrite").parquet(tdir)
     tdf = spark.read.parquet(tdir)
     n_turns = tdf.count()
+    # one UNTIMED warmup: the first bake after generation pays parquet
+    # page-cache population + Python-worker spinup (measured 136 s →
+    # 9.7 s across four identical runs in one fresh session), which is
+    # startup cost, not engine throughput
+    materialize(bake_recipe(tdf))
     bake_s = best_time(lambda: bake_recipe(tdf), repeats=max(REPEATS, 4))
     timings["recipe_bake_transcripts"] = round(bake_s, 3)
 

@@ -54,6 +54,7 @@ from recipys_spark.operators.fingerprint import (
     winnow_overlap_pairs,
 )
 from recipys_spark.operators.bpe import (
+    StepBpeTokens,
     bpe_encode,
     bpe_token_count,
     train_bpe,
@@ -121,6 +122,7 @@ __all__ = [
     "clean_corpus",
     "cosine_topk",
     "dequantize_embeddings",
+    "StepBpeTokens",
     "bpe_encode",
     "bpe_token_count",
     "chunk_documents",

@@ -170,3 +170,92 @@ def bpe_token_count(
     return df.withColumn(
         out_col, F.size(bpe_encode_udf(merges)(F.col(text_col)))
     )
+
+
+from recipys_spark.operators.base import Step  # noqa: E402
+from recipys_spark.selector import has_type  # noqa: E402
+
+
+class StepBpeTokens(Step):
+    """Recipe-step form: fit learns the merges on the TRAIN corpus,
+    transform appends ``{col}_bpe_count`` (and optionally the token
+    array) — so bake() applies the frozen train-time vocabulary to new
+    data, the exact prep/bake leakage boundary the engine enforces for
+    every fitted step (a bake-time refit would leak test-corpus
+    statistics into the tokenization).
+
+    Fitted state is the merges list — JSON round-trips through
+    Recipe.save_state/load_state like every other step."""
+
+    _uses_groups = False
+    _uses_sequence = False
+    _row_preserving = True
+
+    def __init__(
+        self,
+        sel=None,
+        num_merges: int = 200,
+        max_words: int = 50_000,
+        emit_tokens: bool = False,
+        role: str = "predictor",
+    ) -> None:
+        super().__init__(sel if sel is not None else has_type("string"))
+        self.num_merges = num_merges
+        self.max_words = max_words
+        self.emit_tokens = emit_tokens
+        self.role = role
+        self.merges: dict = {}
+        self.desc = f"BPE tokenize ({num_merges} merges)"
+
+    def new_column_roles(self) -> dict:
+        cols = {}
+        for c in self.columns:
+            cols[f"{c}_bpe_count"] = self.role
+            if self.emit_tokens:
+                cols[f"{c}_bpe"] = self.role
+        return cols
+
+    def do_fit(self, ingredients) -> None:
+        self.merges = {
+            c: train_bpe(
+                ingredients.df.select(F.col(c).alias("text")),
+                num_merges=self.num_merges,
+                max_words=self.max_words,
+            )
+            for c in self.columns
+        }
+
+    def do_transform(self, ingredients):
+        df = ingredients.df
+        exprs = []
+        for c in self.columns:
+            enc = bpe_encode_udf(self.merges[c])(F.col(c))
+            if self.emit_tokens:
+                # project the array once, size the projected column —
+                # two UDF calls per row otherwise
+                exprs.append(enc.alias(f"{c}_bpe"))
+            else:
+                exprs.append(F.size(enc).alias(f"{c}_bpe_count"))
+        out = df.select("*", *exprs)
+        if self.emit_tokens:
+            out = out.select(
+                "*",
+                *[
+                    F.size(F.col(f"{c}_bpe")).alias(f"{c}_bpe_count")
+                    for c in self.columns
+                ],
+            )
+        return out
+
+    def get_state(self) -> dict:
+        return {
+            "columns": self.columns,
+            "merges": {c: [list(m) for m in ms] for c, ms in self.merges.items()},
+        }
+
+    def set_state(self, state: dict) -> None:
+        self.columns = state["columns"]
+        self.merges = {
+            c: [tuple(m) for m in ms] for c, ms in state["merges"].items()
+        }
+        self._trained = True

@@ -107,3 +107,35 @@ def test_null_and_empty_text(spark):
 def test_train_validates_args(spark, sennrich_df):
     with pytest.raises(ValueError):
         train_bpe(sennrich_df, num_merges=0)
+
+
+def test_step_bpe_prep_bake_and_state_roundtrip(spark, tmp_path):
+    """The recipe-step form: merges learned in prep are FROZEN for
+    bake (leakage boundary), and survive save_state/load_state."""
+    from recipys_spark import Recipe
+    from recipys_spark.operators.bpe import StepBpeTokens
+    from recipys_spark.selector import all_of
+
+    docs = spark.read.parquet(DOCS).limit(80).select("doc_id", "text")
+    step = StepBpeTokens(sel=all_of(["text"]), num_merges=40)
+    rec = Recipe(docs, predictors=["text"]).add_step(step)
+    train = rec.prep().orderBy("doc_id").collect()
+    assert train[0].text_bpe_count >= 1
+    frozen = {c: list(m) for c, m in step.merges.items()}
+
+    # bake on DIFFERENT data must reuse the train merges, not refit
+    other = spark.read.parquet(DOCS).limit(120).select("doc_id", "text")
+    rec.bake(other).count()
+    assert {c: list(m) for c, m in step.merges.items()} == frozen
+
+    # state round-trip through the JSON manifest
+    path = str(tmp_path / "state.json")
+    rec.save_state(path)
+    step2 = StepBpeTokens(sel=all_of(["text"]), num_merges=40)
+    rec2 = Recipe(docs, predictors=["text"]).add_step(step2)
+    rec2.load_state(path)
+    assert step2.merges == step.merges
+    baked = rec2.bake(docs).orderBy("doc_id").collect()
+    assert [r.text_bpe_count for r in baked] == [
+        r.text_bpe_count for r in train
+    ]
