@@ -190,3 +190,48 @@ def test_sample_hash_range(spark):
         F.max(sample_hash(["doc_id"])).alias("hi"),
     ).first()
     assert 0 <= mm.lo and mm.hi < SAMPLE_MOD
+
+
+# -- property-based: packing vs a trivial python oracle ----------------------
+
+
+def _pack_oracle(tokens_by_id, seq_len):
+    """Linear-scan reference: lay docs end to end in id order, cut
+    every seq_len tokens."""
+    rows, pos = [], 0
+    for doc_id in sorted(tokens_by_id):
+        n = tokens_by_id[doc_id]
+        if n <= 0:
+            continue
+        start, end = pos, pos + n
+        for seq in range(start // seq_len, (end - 1) // seq_len + 1):
+            lo, hi = max(start, seq * seq_len), min(end, (seq + 1) * seq_len)
+            rows.append(
+                (doc_id, seq, lo - seq * seq_len, lo - start, hi - start)
+            )
+        pos = end
+    return sorted(rows)
+
+
+def test_pack_sequences_matches_python_oracle_random(spark):
+    """Randomized (seeded) sweep: arbitrary token-length multisets,
+    several seq_len and partition counts, compared row-for-row against
+    the linear-scan oracle — guards the two-phase prefix sum's bucket
+    boundaries and the first/last-sequence arithmetic."""
+    rng = np.random.RandomState(20240817)
+    for trial in range(6):
+        n_docs = int(rng.randint(1, 40))
+        lens = rng.randint(0, 25, size=n_docs)
+        seq_len = int(rng.choice([1, 3, 8, 64]))
+        nparts = int(rng.choice([1, 2, 5]))
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(n_docs), "n_tokens": lens})
+        )
+        got = sorted(
+            (r.doc_id, r.seq_id, r.seq_start, r.doc_start, r.doc_end)
+            for r in pack_sequences(
+                df, seq_len, num_partitions=nparts
+            ).collect()
+        )
+        expect = _pack_oracle(dict(enumerate(int(x) for x in lens)), seq_len)
+        assert got == expect, (trial, seq_len, nparts, lens.tolist())

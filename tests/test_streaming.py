@@ -325,3 +325,48 @@ def test_streaming_dedup_null_texts_all_pass(spark, tmp_path_factory):
     ).toPandas()
     assert len(out) == 3  # one "dup me" + both nulls
     assert out.text.isna().sum() == 2
+
+
+def test_streaming_deterministic_sample_matches_batch(spark, tmp_path_factory):
+    """The assembly-tier samplers are STATELESS expressions, so they
+    run unchanged on a stream and pick the identical rows the batch
+    path picks — hash coins, not RNG state. (pack_sequences is
+    inherently batch: a global prefix sum has no streaming analog.)"""
+    from recipys_spark.operators.packing import (
+        deterministic_sample,
+        weighted_domain_sample,
+    )
+
+    path = str(tmp_path_factory.mktemp("sample_stream") / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(
+        path
+    )
+    batch = spark.read.parquet(path)
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+
+    got = _run_stream(
+        spark,
+        deterministic_sample(stream, 0.3, ["doc_id"]).select("doc_id"),
+        "sampled_stream",
+        "append",
+    )
+    b = sorted(r.doc_id for r in deterministic_sample(batch, 0.3, ["doc_id"]).collect())
+    s = sorted(r.doc_id for r in got.collect())
+    assert s == b and len(s) > 0
+
+    got2 = _run_stream(
+        spark,
+        weighted_domain_sample(
+            stream, {"src1": 0.5, "src2": 2.25}, "source", ["doc_id"]
+        ).select("doc_id", "sample_copy"),
+        "mixed_stream",
+        "append",
+    )
+    b2 = sorted(
+        (r.doc_id, r.sample_copy)
+        for r in weighted_domain_sample(
+            batch, {"src1": 0.5, "src2": 2.25}, "source", ["doc_id"]
+        ).select("doc_id", "sample_copy").collect()
+    )
+    s2 = sorted((r.doc_id, r.sample_copy) for r in got2.collect())
+    assert s2 == b2 and len(s2) > 0
