@@ -1750,14 +1750,18 @@ def oracle_sql() -> dict[str, str]:
     o["hash_sample"] = (
         f"SELECT doc_id, source FROM documents WHERE {_coin} < 250000000"
     )
+    # integer (whole, coin-threshold) literals per domain — the same
+    # driver-side split the Spark operator does, so no binary-double
+    # arithmetic sits near the boundary in either engine
     o["domain_mix"] = (
         "WITH r AS (SELECT doc_id, source, "
-        "CASE source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 2.25 "
-        "WHEN 'src3' THEN 1.0 ELSE 0.0 END AS rate, "
+        "CASE source WHEN 'src1' THEN 0 WHEN 'src2' THEN 2 "
+        "WHEN 'src3' THEN 1 ELSE 0 END AS whole, "
+        "CASE source WHEN 'src1' THEN 500000000 WHEN 'src2' THEN 250000000 "
+        "WHEN 'src3' THEN 0 ELSE 0 END AS thresh, "
         f"{_coin} AS coin FROM documents), "
         "c AS (SELECT doc_id, source, "
-        "CAST(floor(rate) AS INT) + CASE WHEN coin < (rate - floor(rate)) "
-        "* 1000000000 THEN 1 ELSE 0 END AS copies FROM r) "
+        "whole + CASE WHEN coin < thresh THEN 1 ELSE 0 END AS copies FROM r) "
         "SELECT doc_id, source, CAST(u.sample_copy AS INT) AS sample_copy "
         "FROM c, LATERAL unnest(generate_series(1, copies)) AS u(sample_copy) "
         "WHERE copies > 0"
@@ -1777,8 +1781,8 @@ def oracle_sql() -> dict[str, str]:
         "AS u(seq_id)"
     )
     o["chunk_documents"] = (
-        r"WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), "
-        r"'\s+') AS toks FROM documents), "
+        r"WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        r"trim(lower(text)), '\s+'), x -> len(x) > 0) AS toks FROM documents), "
         "n AS (SELECT doc_id, toks, len(toks) AS n FROM t), "
         "c AS (SELECT doc_id, toks, n, CASE WHEN n > 0 THEN "
         "CAST(ceil(GREATEST(n - 50, 0) / 40.0) AS BIGINT) + 1 ELSE 0 END AS nc "

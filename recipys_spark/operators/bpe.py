@@ -50,47 +50,88 @@ def train_bpe(
     so training is reproducible at any parallelism.
 
     Returns the merges as a list of (left, right) tuples, in learned
-    order (= rank)."""
+    order (= rank).
+
+    The merge loop maintains INCREMENTAL pair counts (inverted index
+    pair → words containing it; lazy-invalidated heap for the argmax)
+    — one merge touches only the words that contain the merged pair,
+    so 50k merges over a 50k-word vocabulary is minutes, not the hours
+    a full recount per iteration costs. Word segmentation: non-empty
+    maximal runs between ASCII whitespace of the lowercased text —
+    identical to the encode UDF's splitter, by construction."""
+    import heapq
+
     from recipys_spark.functions.text import tokens
 
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
     rows = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")  # tokens('') and leading-\t yield ''
         .groupBy("w")
         .count()
         .orderBy(F.col("count").desc(), "w")
         .limit(max_words)
         .collect()
     )
-    vocab = {tuple(r["w"]) + (END,): r["count"] for r in rows}
+    words = {i: (tuple(r["w"]) + (END,), int(r["count"])) for i, r in enumerate(rows)}
+
+    def word_pairs(word):
+        return [(word[i], word[i + 1]) for i in range(len(word) - 1)]
+
+    pair_counts: dict = {}
+    pair_to_words: dict = {}
+    for idx, (word, cnt) in words.items():
+        for p in word_pairs(word):
+            pair_counts[p] = pair_counts.get(p, 0) + cnt
+            pair_to_words.setdefault(p, set()).add(idx)
+    # heap key (-count, pair): pops highest count, ties lexicographically
+    # smallest pair — the deterministic, parallelism-independent order
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
     merges: list = []
-    for _ in range(num_merges):
-        pairs: dict = {}
-        for word, cnt in vocab.items():
-            for i in range(len(word) - 1):
-                p = (word[i], word[i + 1])
-                pairs[p] = pairs.get(p, 0) + cnt
-        if not pairs:
-            break
-        # deterministic tie-break: highest count, then lexicographically
-        # smallest pair — reproducible merges at any parallelism
-        pair, count = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        if count < 2:
+    while len(merges) < num_merges and heap:
+        negc, pair = heapq.heappop(heap)
+        current = pair_counts.get(pair, 0)
+        if current != -negc:
+            continue  # stale entry — a fresher one is (or will be) queued
+        if current < 2:
             break  # no pair repeats — further merges are noise
         merged = pair[0] + pair[1]
-        new_vocab = {}
-        for word, cnt in vocab.items():
-            out, i = [], 0
+        touched = []
+        for widx in pair_to_words.get(pair, ()):
+            word, cnt = words[widx]
+            out, i, hit = [], 0, False
             while i < len(word):
-                if i < len(word) - 1 and word[i] == pair[0] and word[i + 1] == pair[1]:
+                if (
+                    i < len(word) - 1
+                    and word[i] == pair[0]
+                    and word[i + 1] == pair[1]
+                ):
                     out.append(merged)
                     i += 2
+                    hit = True
                 else:
                     out.append(word[i])
                     i += 1
-            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
-        vocab = new_vocab
+            if not hit:
+                continue  # stale membership from an earlier rewrite
+            new_word = tuple(out)
+            for p in word_pairs(word):
+                pair_counts[p] -= cnt
+                touched.append(p)
+            for p in word_pairs(new_word):
+                pair_counts[p] = pair_counts.get(p, 0) + cnt
+                pair_to_words.setdefault(p, set()).add(widx)
+                touched.append(p)
+            words[widx] = (new_word, cnt)
+        for p in set(touched):
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
+            else:
+                pair_counts.pop(p, None)
+                pair_to_words.pop(p, None)
         merges.append(pair)
     return merges
 
@@ -119,9 +160,12 @@ def bpe_encode_udf(merges: Sequence):
     import re
 
     ranks = {tuple(m): i for i, m in enumerate(merges)}
-    # mirrors functions/text.tokens: split(trim(lower(text)), r"\s+") —
-    # train and apply MUST share the word segmentation
-    splitter = re.compile(r"\s+")
+    # the SAME segmentation as training: Java's \s is the ASCII class
+    # [ \t\n\x0B\f\r] (Python re's \s also matches Unicode whitespace
+    # like NBSP — a web corpus regular — which would split words the
+    # JVM trainer kept whole); empty fragments are filtered on both
+    # sides, so trim semantics cancel out
+    splitter = re.compile("[ \t\n\x0b\f\r]+")
 
     @F.pandas_udf("array<string>")
     def enc(texts: pd.Series) -> pd.Series:
@@ -132,7 +176,7 @@ def bpe_encode_udf(merges: Sequence):
                 out.append(None)
                 continue
             toks: list = []
-            for w in splitter.split(t.lower().strip()):
+            for w in splitter.split(t.lower()):
                 if not w:
                     continue
                 got = cache.get(w)

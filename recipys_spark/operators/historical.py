@@ -225,6 +225,13 @@ class StepHistorical(Step):
                 raise ValueError("median_ship applies only to MEDIAN")
             if median_ship not in ("auto", "narrow", "full"):
                 raise ValueError("median_ship must be 'auto', 'narrow' or 'full'")
+            if median_via_pandas is False:
+                raise ValueError(
+                    "median_ship configures the Arrow median paths, but "
+                    "median_via_pandas=False forces the window-percentile "
+                    "expression — the requested ship strategy would be "
+                    "silently ignored; drop one of the two options"
+                )
         self.median_ship = median_ship or "auto"
         self.fun = fun
         self.suffix = suffix if suffix is not None else fun.value

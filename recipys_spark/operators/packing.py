@@ -51,10 +51,19 @@ def deterministic_sample(
     ``key_cols`` must identify the sampling unit (doc id for
     per-document, conv_id for per-conversation — keying on conv_id
     keeps WHOLE conversations, the leakage-safe unit for transcript
-    corpora)."""
+    corpora).
+
+    The threshold resolves to ONE integer on the driver
+    (``round(rate * SAMPLE_MOD)``) and the row path compares pure
+    int64 — no binary-double arithmetic near the boundary, so
+    membership is bit-identical across engines (0.3 in double is
+    0.2999…; a truncating int() would threshold one unit low and a
+    DECIMAL-arithmetic engine would disagree on boundary coins)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
-    return df.where(sample_hash(key_cols, seed) < F.lit(int(rate * SAMPLE_MOD)))
+    return df.where(
+        sample_hash(key_cols, seed) < F.lit(int(round(rate * SAMPLE_MOD)))
+    )
 
 
 def weighted_domain_sample(
@@ -72,19 +81,31 @@ def weighted_domain_sample(
     repeat-count array, still deterministic and shuffle-free).
 
     Unmatched domains get ``default_rate`` (0 = drop — explicit
-    allowlisting, the safe default for a curated mixture)."""
+    allowlisting, the safe default for a curated mixture).
+
+    Each rate resolves DRIVER-side to (whole copies, integer coin
+    threshold) so the row path is int compares only — same
+    cross-engine boundary rationale as deterministic_sample."""
+    import math
+
     for d, r in rates.items():
         if r < 0:
             raise ValueError(f"negative rate for domain {d!r}")
     if default_rate < 0:
         raise ValueError("default_rate must be >= 0")
+
+    def split_rate(r):
+        whole = math.floor(r)
+        return whole, int(round((r - whole) * SAMPLE_MOD))
+
     coin = sample_hash(key_cols, seed)
-    rate_expr = F.lit(float(default_rate))
+    dw, dt = split_rate(float(default_rate))
+    whole_expr, thresh_expr = F.lit(dw), F.lit(dt)
     for d, r in sorted(rates.items()):
-        rate_expr = F.when(F.col(domain_col) == d, F.lit(float(r))).otherwise(rate_expr)
-    whole = F.floor(rate_expr).cast("int")
-    frac = rate_expr - whole
-    copies = whole + (coin < frac * F.lit(SAMPLE_MOD)).cast("int")
+        w_, t_ = split_rate(float(r))
+        whole_expr = F.when(F.col(domain_col) == d, F.lit(w_)).otherwise(whole_expr)
+        thresh_expr = F.when(F.col(domain_col) == d, F.lit(t_)).otherwise(thresh_expr)
+    copies = whole_expr + (coin < thresh_expr).cast("int")
     out = df.withColumn("__copies", copies).where(F.col("__copies") > 0)
     return (
         out.withColumn(
@@ -100,6 +121,7 @@ def pack_sequences(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     num_partitions: Optional[int] = None,
+    check_ids: bool = True,
 ) -> DataFrame:
     """Concat-and-chunk packing: lay all documents end to end in
     ``id_col`` order and cut every ``seq_len`` tokens — the standard
@@ -126,7 +148,17 @@ def pack_sequences(
     Non-numeric ids fall back to range partitioning pinned with a
     localCheckpoint (same algorithm, boundaries from the range
     partitioner instead of literals). Either way the result depends
-    only on the id ORDER, not on where the boundaries fall."""
+    only on the id ORDER, not on where the boundaries fall.
+
+    ``id_col`` must be a NON-NULL, UNIQUE total order — duplicates
+    would make the running total ill-defined (two rows claiming the
+    same positions) and NULLs have no place in the order. One fit-time
+    aggregation verifies both and raises naming the violation; pass
+    ``check_ids=False`` to skip the probe when uniqueness is already
+    guaranteed upstream (e.g. a primary key). Rows duplicated by
+    weighted_domain_sample must first get a fresh unique id, e.g.
+    ``F.concat_ws('#', 'doc_id', 'sample_copy')`` or
+    ``doc_id * max_copies + sample_copy``."""
     if seq_len < 1:
         raise ValueError("seq_len must be >= 1")
     spark = df.sparkSession
@@ -136,6 +168,25 @@ def pack_sequences(
     base = df.select(id_col, F.col(token_col).cast("long").alias("__n")).where(
         F.col("__n") > 0
     )
+    if check_ids:
+        chk = base.agg(
+            F.count("*").alias("n_all"),
+            F.count(id_col).alias("n_id"),
+            F.countDistinct(id_col).alias("n_dist"),
+        ).first()
+        if chk.n_id < chk.n_all:
+            raise ValueError(
+                f"pack_sequences: {chk.n_all - chk.n_id} NULL {id_col!r} "
+                "values — the packing order requires non-null ids"
+            )
+        if chk.n_dist < chk.n_id:
+            raise ValueError(
+                f"pack_sequences: {id_col!r} is not unique "
+                f"({chk.n_id - chk.n_dist} duplicate rows) — duplicate ids "
+                "make the token layout ill-defined; derive a unique id "
+                "first (e.g. concat_ws('#', id, sample_copy)) or pass "
+                "check_ids=False only when uniqueness is guaranteed"
+            )
     numeric_id = isinstance(base.schema[id_col].dataType, T.NumericType)
     if numeric_id and nparts > 1:
         fracs = [i / nparts for i in range(1, nparts)]
@@ -153,7 +204,15 @@ def pack_sequences(
         staged = base.repartitionByRange(max(nparts, 1), F.col(id_col)).withColumn(
             "__pid", F.spark_partition_id()
         )
-    w = Window.partitionBy("__pid").orderBy(id_col)
+    # explicit ROWS frame: the default RANGE frame includes ORDER BY
+    # peers, so duplicate ids would all receive the same running total
+    # (ids are verified unique above, but the frame must still be ROWS
+    # to match the oracle's ROWS BETWEEN ... semantics exactly)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     local = staged.withColumn("__local_end", F.sum("__n").over(w))
     if not (numeric_id and nparts > 1):
         # range-partitioner boundaries are re-derived per job — pin the
@@ -211,15 +270,16 @@ def chunk_documents(
     max_tokens: int,
     stride: Optional[int] = None,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Split documents into token-window chunks of ``max_tokens`` with
     optional overlap (``stride`` < max_tokens ⇒ overlapping windows,
     the pre-embedding chunking every retrieval/similarity pipeline
-    runs; default stride = max_tokens ⇒ disjoint). Emits (id,
-    chunk_idx, chunk_text, chunk_n_tokens); documents shorter than one
-    window emit exactly one chunk. Pure JVM array ops (tokens →
-    sequence → slice → join), no UDF, fuses into the projection."""
+    runs; default stride = max_tokens ⇒ disjoint). All non-text
+    columns pass through; adds (chunk_idx, chunk_text,
+    chunk_n_tokens). Documents shorter than one window emit exactly
+    one chunk; NULL or whitespace-only documents emit none. Pure JVM
+    array ops (tokens → sequence → slice → join), no UDF, fuses into
+    the projection."""
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
     stride = max_tokens if stride is None else stride
@@ -227,10 +287,14 @@ def chunk_documents(
         raise ValueError("stride must be in [1, max_tokens]")
     from recipys_spark.functions.text import tokens
 
-    toks = tokens(F.col(text_col))
+    # drop empty fragments: tokens('') is [''] and a leading tab
+    # survives the space-only trim — without the filter, empty or
+    # whitespace-only docs would emit one phantom empty chunk and
+    # leading-whitespace docs would count a ghost first token
+    toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
     n = F.size(toks)
-    # chunk starts: 0, stride, 2*stride, ... while start < n (empty
-    # docs emit no chunks); last chunk may be short
+    # chunk starts: 0, stride, 2*stride, ... while start < n; the last
+    # chunk may be short
     n_chunks = F.when(
         n > 0, F.ceil((F.greatest(n - max_tokens, F.lit(0))) / F.lit(stride)) + 1
     ).otherwise(F.lit(0))

@@ -46,8 +46,15 @@ def norm_expr(a):
 def cosine_expr(a, b):
     # try_divide: a zero-norm vector yields NULL cosine (sorts LAST in
     # the descending top-k) instead of raising under ANSI mode (Spark 4
-    # default) or yielding NaN — and matches cosine_udf's guard exactly
-    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
+    # default) or yielding NaN. nanvl: a NaN ELEMENT inside a vector
+    # (poisoned embedding) also yields NULL — Spark sorts NaN ABOVE
+    # every real double, so without the guard one poisoned corpus row
+    # becomes the rank-1 neighbor of every query. Both guards match
+    # cosine_udf (denom > 0 is False for NaN → NULL) exactly.
+    return F.nanvl(
+        F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b)),
+        F.lit(None).cast("double"),
+    )
 
 
 def cosine_udf():
@@ -83,7 +90,10 @@ def cosine_udf():
             denom = na * nb
             for j, i in enumerate(idx):
                 if denom[j] > 0:
-                    out[i] = float(dots[j] / denom[j])
+                    v = dots[j] / denom[j]
+                    # inf elements: denom can be +inf with a NaN ratio;
+                    # keep NaN → NULL parity with the nanvl'd expression
+                    out[i] = float(v) if v == v else None
         return pd.Series(out, dtype=object)
 
     return cos
@@ -298,7 +308,7 @@ def lsh_cosine_topk(
     dim: int = 64,
     multiprobe: bool = True,
     seed: int = 42,
-    n_tables: int = 1,
+    n_tables: Optional[int] = None,
     vectorized: Optional[bool] = None,
     weights=None,
 ) -> DataFrame:
@@ -326,15 +336,21 @@ def lsh_cosine_topk(
       the broadcast-numpy pandas_udf above it (production dims). Both
       derive weights from the same xxhash64, so buckets agree.
     """
-    if n_tables < 1:
+    if n_tables is not None and n_tables < 1:
         raise ValueError("n_tables must be >= 1")
     if n_planes is None:
         # auto-size from a one-off count probe (fit-time, bounded):
-        # the recommend_lsh_params formulas, threaded
+        # the recommend_lsh_params formulas, threaded. An explicitly
+        # passed n_tables (or explicit weights, which imply ONE table)
+        # is the caller's choice and is never overridden.
         params = recommend_lsh_params(corpus.count(), dim)
-        n_planes, n_tables = params["n_planes"], params["n_tables"]
+        n_planes = params["n_planes"]
+        if n_tables is None and weights is None:
+            n_tables = params["n_tables"]
         if vectorized is None:
             vectorized = params["vectorized"]
+    if n_tables is None:
+        n_tables = 1
     if weights is not None:
         # explicit literal planes (the SQL-mirrorable form): one table
         if n_tables != 1:

@@ -236,3 +236,10 @@ def test_median_ship_paths_identical(spark, example_df_nan):
         StepHistorical(sel=all_of(["x1"]), fun=Accumulator.MEDIAN, median_ship="bogus")
     with pytest.raises(ValueError, match="median_ship"):
         StepHistorical(sel=all_of(["x1"]), fun=Accumulator.MAX, median_ship="full")
+
+
+def test_median_ship_conflicts_with_window_path():
+    with pytest.raises(ValueError, match="median_via_pandas"):
+        StepHistorical(
+            fun=Accumulator.MEDIAN, median_ship="full", median_via_pandas=False
+        )

