@@ -914,6 +914,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_documents"] = chunk_docs
 
+    # -- web-corpus ingestion (operators/warc.py) ------------------------------
+    # HTML→text extraction: the engine wraps each document in a
+    # deterministic HTML shell (identically in both engines — the
+    # testdata has no HTML) and runs the regexp extraction chain;
+    # RE2-compatible patterns make the DuckDB replay byte-exact
+    def html_extract(s, d):
+        from recipys_spark.operators.warc import html_to_text
+
+        docs = _t(s, d, "documents")
+        html = F.concat(
+            F.lit(
+                "<html><head><title>t</title><style>p{color:red}</style>"
+                "</head><body><h1>Doc "
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><!-- note --><p>"),
+            F.col("text"),
+            F.lit(" &amp; tail</p><script>var q=1;</script></body></html>"),
+        )
+        return docs.select("doc_id", html_to_text(html).alias("extracted"))
+
+    q["html_extract"] = html_extract
+
+    # URL-level filter signals over deterministic synthesized URLs
+    def url_feats(s, d):
+        from recipys_spark.operators.warc import url_features
+
+        docs = _t(s, d, "documents")
+        url = F.concat(
+            F.lit("https://user@sub"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example-"),
+            F.col("source"),
+            F.lit(".org:8080/section/"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit("/page?ref=x#frag"),
+        )
+        return url_features(docs.select("doc_id", url.alias("url")))
+
+    q["url_features"] = url_feats
+
     # -- multimodal plumbing (stubbed decode) → rows-only ---------------------------
     def media_features(s, d):
         return extract_features(synthetic_media(s, n=200)).select(
@@ -1009,6 +1050,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_real_token_count"] = bpe_real
 
+    # WARC archive parsing (plain + multi-member gzip) → rows-only:
+    # DuckDB has no gzip-member decoder; pytest pins the byte-level
+    # format physics (tests/test_warc.py)
+    def warc_extract(s, d):
+        from recipys_spark.operators.warc import (
+            html_to_text,
+            parse_warc_records,
+            synthetic_warc,
+        )
+
+        recs = parse_warc_records(synthetic_warc(s, n_files=50))
+        return recs.select(
+            "file_id",
+            "record_idx",
+            "target_uri",
+            html_to_text(F.col("body").cast("string")).alias("text"),
+        )
+
+    q["warc_extract"] = warc_extract
+
     return _driver_window_order(q)
 
 
@@ -1037,6 +1098,9 @@ _DEFER_TO_BACK = [
     "multimodal_png_decode",
     "multimodal_wav_decode",
     "multimodal_jpeg_decode",
+    "scale_minmax",
+    "kbins_uniform",
+    "warc_extract",
 ]
 
 _DRIVER_WINDOW = 50
@@ -1793,6 +1857,38 @@ def oracle_sql() -> dict[str, str]:
         "CAST(LEAST(n - u.chunk_idx * 40, 50) AS INT) AS chunk_n_tokens "
         "FROM c, LATERAL unnest(generate_series(0, nc - 1)) AS u(chunk_idx) "
         "WHERE nc > 0"
+    )
+
+    # -- web-ingestion mirrors (operators/warc.py) --------------------------
+    from recipys_spark.operators.warc import html_to_text_sql
+
+    _html = (
+        "concat('<html><head><title>t</title><style>p{color:red}</style>"
+        "</head><body><h1>Doc ', CAST(doc_id AS VARCHAR), "
+        "'</h1><!-- note --><p>', text, "
+        "' &amp; tail</p><script>var q=1;</script></body></html>')"
+    )
+    o["html_extract"] = (
+        f"SELECT doc_id, {html_to_text_sql(_html)} AS extracted FROM documents"
+    )
+    _url = (
+        "concat('https://user@sub', CAST(doc_id % 7 AS VARCHAR), "
+        "'.example-', source, '.org:8080/section/', "
+        "CAST(doc_id % 13 AS VARCHAR), '/page?ref=x#frag')"
+    )
+    o["url_features"] = (
+        f"WITH u AS (SELECT doc_id, {_url} AS url FROM documents), "
+        "p AS (SELECT doc_id, url, "
+        "regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1) AS sch, "
+        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1) AS host, "
+        "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path "
+        "FROM u) "
+        "SELECT doc_id, url, lower(sch) AS url_scheme, lower(host) AS url_host, "
+        r"lower(regexp_extract(host, '\.([A-Za-z0-9-]+)$', 1)) AS url_tld, "
+        "path AS url_path, "
+        "CAST(CASE WHEN len(path) > 0 THEN len(list_filter(str_split(path, '/'), "
+        "x -> len(x) > 0)) ELSE 0 END AS INT) AS url_path_depth "
+        "FROM p"
     )
 
     # no oracles (UDF decode plumbing — no decoder in DuckDB):

@@ -72,6 +72,9 @@ HEADLINE = [
     "chunk_documents",
     "bpe_real_token_count",
     "multimodal_jpeg_decode",
+    "html_extract",
+    "url_features",
+    "warc_extract",
 ]
 
 # transcript volume for the recipe-bake throughput number. 1M convs

@@ -81,6 +81,11 @@ from recipys_spark.operators.textstats import (
     unigram_logprob_scores,
 )
 from recipys_spark.operators.timeseries import time_rollup
+from recipys_spark.operators.warc import (
+    html_to_text,
+    parse_warc_records,
+    url_features,
+)
 
 __all__ = [
     "Accumulator",
@@ -128,6 +133,7 @@ __all__ = [
     "chunk_documents",
     "deterministic_sample",
     "exact_dedup",
+    "html_to_text",
     "gopher_signals",
     "ivf_cosine_topk",
     "jaccard_pairs",
@@ -135,9 +141,11 @@ __all__ = [
     "minhash_dedup",
     "minhash_lsh_pairs",
     "pack_sequences",
+    "parse_warc_records",
     "quantize_embeddings",
     "recommend_lsh_params",
     "train_bpe",
+    "url_features",
     "weighted_domain_sample",
     "range_join",
     "simhash_clusters",

@@ -152,10 +152,18 @@ def test_segmentation_parity_nbsp_and_tabs(spark):
     merges = train_bpe(df, num_merges=20)
     got = bpe_encode(df, merges).collect()
     # reconstruction through END markers proves the same word split
+    import re
+
+    asciiws = "[ \t\n\x0b\f\r]+"
     for r in got:
-        rebuilt = "".join(r.text_bpe).replace(END, " ").split()
-        jvm_words = [w for w in __import__("re").split(
-            "[ \t\n\x0b\f\r]+", r.text.lower()) if w]
+        # rebuild with the SAME ASCII split — str.split() is Unicode
+        # and would split the NBSP word the tokenizer (correctly) kept
+        rebuilt = [
+            w
+            for w in re.split(asciiws, "".join(r.text_bpe).replace(END, " "))
+            if w
+        ]
+        jvm_words = [w for w in re.split(asciiws, r.text.lower()) if w]
         assert rebuilt == jvm_words, r.text
     # the NBSP word was learned whole (it repeats, so some merge
     # includes the NBSP character)
