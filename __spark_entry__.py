@@ -955,6 +955,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_features"] = url_feats
 
+    # cross-document paragraph dedup (C4/RefinedWeb boilerplate rule):
+    # the testdata documents are single-line, so the query plants
+    # per-source shared footers + per-doc unique lines — identically in
+    # both engines — giving the dedup real cross-document work
+    def para_dedup(s, d):
+        from recipys_spark.operators.corpus import dedup_paragraphs
+
+        docs = _t(s, d, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit("\nshared footer for "),
+                F.col("source"),
+                F.lit("\nunique line "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        return dedup_paragraphs(docs)
+
+    q["dedup_paragraphs"] = para_dedup
+
+    # benchmark decontamination: every doc_id % 17 == 0 document plays
+    # the eval set; those docs (and any sharing a 5-gram) get flagged
+    def decontaminate(s, d):
+        from recipys_spark.operators.corpus import ngram_decontaminate
+
+        # the testdata parquet is one file → one scan task; fan the
+        # shingling out across cores (results are partitioning-
+        # independent, so the oracle compare is unaffected)
+        docs = _t(s, d, "documents").repartition(32)
+        bench = docs.where(F.col("doc_id") % 17 == 0)
+        return ngram_decontaminate(docs, bench, n=5, mode="flag").select(
+            "doc_id", "contaminated"
+        )
+
+    q["ngram_decontaminate"] = decontaminate
+
     # -- multimodal plumbing (stubbed decode) → rows-only ---------------------------
     def media_features(s, d):
         return extract_features(synthetic_media(s, n=200)).select(
@@ -1101,6 +1138,8 @@ _DEFER_TO_BACK = [
     "scale_minmax",
     "kbins_uniform",
     "warc_extract",
+    "dedup_jaccard",
+    "winnow_overlap",
 ]
 
 _DRIVER_WINDOW = 50
@@ -1889,6 +1928,38 @@ def oracle_sql() -> dict[str, str]:
         "CAST(CASE WHEN len(path) > 0 THEN len(list_filter(str_split(path, '/'), "
         "x -> len(x) > 0)) ELSE 0 END AS INT) AS url_path_depth "
         "FROM p"
+    )
+
+    # -- curation mirrors: paragraph dedup + decontamination ----------------
+    o["dedup_paragraphs"] = (
+        "WITH d AS (SELECT doc_id, concat(text, '\nshared footer for ', "
+        "source, '\nunique line ', CAST(doc_id AS VARCHAR)) AS text "
+        "FROM documents), "
+        "p AS (SELECT doc_id, i - 1 AS pos, parts[i] AS para FROM "
+        "(SELECT doc_id, str_split(text, chr(10)) AS parts FROM d), "
+        "LATERAL unnest(generate_series(1, len(parts))) t(i)), "
+        "k AS (SELECT doc_id, pos, para, "
+        "CASE WHEN len(trim(para)) >= 1 THEN md5(para) END AS fp FROM p), "
+        "fst AS (SELECT *, row_number() OVER (PARTITION BY fp "
+        "ORDER BY doc_id, pos) AS rn FROM k WHERE fp IS NOT NULL), "
+        "kept AS (SELECT doc_id, pos, para, 1 AS has FROM fst WHERE rn = 1 "
+        "UNION ALL SELECT doc_id, pos, para, 0 AS has FROM k WHERE fp IS NULL) "
+        "SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text "
+        "FROM kept GROUP BY doc_id HAVING max(has) = 1"
+    )
+    _toks_ne = (
+        r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), "
+        "x -> len(x) > 0)"
+    )
+    o["ngram_decontaminate"] = (
+        f"WITH tok AS (SELECT doc_id, {_toks_ne} AS t FROM documents), "
+        "grams AS (SELECT doc_id, md5(array_to_string(t[i : i + 4], ' ')) AS fp "
+        "FROM tok, LATERAL unnest(generate_series(1, len(t) - 4)) u(i) "
+        "WHERE len(t) >= 5), "
+        "bench AS (SELECT DISTINCT fp FROM grams WHERE doc_id % 17 = 0), "
+        "hits AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (fp)) "
+        "SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated "
+        "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
     )
 
     # no oracles (UDF decode plumbing — no decoder in DuckDB):

@@ -75,6 +75,8 @@ HEADLINE = [
     "html_extract",
     "url_features",
     "warc_extract",
+    "dedup_paragraphs",
+    "ngram_decontaminate",
 ]
 
 # transcript volume for the recipe-bake throughput number. 1M convs

@@ -41,7 +41,12 @@ from recipys_spark.operators.mathtrans import (
 from recipys_spark.operators.sklearn_compat import StepSklearn
 
 # LLM-data-pipeline tier (table-level transforms)
-from recipys_spark.operators.corpus import annotate_filter, clean_corpus
+from recipys_spark.operators.corpus import (
+    annotate_filter,
+    clean_corpus,
+    dedup_paragraphs,
+    ngram_decontaminate,
+)
 from recipys_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
@@ -125,6 +130,7 @@ __all__ = [
     "annotate_filter",
     "asof_join",
     "clean_corpus",
+    "dedup_paragraphs",
     "cosine_topk",
     "dequantize_embeddings",
     "StepBpeTokens",
@@ -140,6 +146,7 @@ __all__ = [
     "lsh_cosine_topk",
     "minhash_dedup",
     "minhash_lsh_pairs",
+    "ngram_decontaminate",
     "pack_sequences",
     "parse_warc_records",
     "quantize_embeddings",

@@ -146,3 +146,132 @@ def clean_corpus(
     else:
         dups = edges.select(F.col("id_b").alias(id_col)).distinct()
     return exact.join(dups, id_col, "left_anti")
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Cross-document PARAGRAPH deduplication — the C4/RefinedWeb rule
+    that removes boilerplate below document granularity (nav bars,
+    cookie banners, repeated footers) which document-level dedup never
+    sees.
+
+    A paragraph survives only at its FIRST global occurrence (lowest
+    ``id_col``, then lowest position within that doc — deterministic
+    at any cluster size); later occurrences are deleted and the
+    document is reassembled from its surviving paragraphs in original
+    order. Returns (id, text) with empty documents (every paragraph
+    was someone else's) dropped.
+
+    Scale shape: explode to (id, pos, paragraph) → one groupBy(min)
+    over the paragraph fingerprint (the ONLY shuffle over corpus
+    volume — and it carries an md5 fingerprint, not the paragraph
+    text) → join survivors back by fingerprint → one groupBy(id)
+    reassembly. Paragraph = ``\\n``-separated block with ≥
+    ``min_chars`` non-whitespace chars; whitespace-only blocks pass
+    through dedup untouched (they carry layout, not content)."""
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    )
+    content = F.length(F.trim(F.col("para"))) >= min_chars
+    keyed = parts.withColumn(
+        "__fp", F.when(content, F.md5(F.col("para")))
+    )
+    # first global occurrence per fingerprint: min (id, pos) — packed
+    # into one struct-min so a single aggregate resolves both
+    firsts = (
+        keyed.where(F.col("__fp").isNotNull())
+        .groupBy("__fp")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"))
+        .select(
+            "__fp",
+            F.col("__first")[id_col].alias("__fid"),
+            F.col("__first")["pos"].alias("__fpos"),
+        )
+    )
+    kept = keyed.join(firsts, "__fp", "left").where(
+        F.col("__fp").isNull()  # layout-only paragraph: always kept
+        | ((F.col(id_col) == F.col("__fid")) & (F.col("pos") == F.col("__fpos")))
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "para"))
+                    ),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.max(F.when(F.col("__fp").isNotNull(), 1).otherwise(0)).alias("__has"),
+        )
+    )
+    # a doc whose every CONTENT paragraph was deleted contributes only
+    # layout — drop it
+    return rebuilt.where(F.col("__has") == 1).select(id_col, text_col)
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "drop",
+) -> DataFrame:
+    """Benchmark decontamination: remove (or flag) corpus documents
+    sharing any lowercase word ``n``-gram with an evaluation set — the
+    GPT-3-style 13-gram overlap rule. Training on eval data silently
+    inflates benchmarks, so this runs LAST in a curation pipeline,
+    after dedup (fewer docs to scan).
+
+    ``mode``: "drop" → surviving corpus rows; "flag" → all rows plus a
+    ``contaminated`` boolean (for audit/reporting before the drop).
+
+    Scale shape: both sides explode to n-gram md5 fingerprints
+    (shingle count = words - n + 1); the join runs fingerprint-to-
+    fingerprint with the benchmark side DISTINCT first (benchmark
+    n-gram sets are ~10^6-10^8 — broadcastable by AQE when small,
+    sort-merge when not; never all-pairs). Documents shorter than
+    ``n`` words cannot collide and are never flagged."""
+    from recipys_spark.functions.text import tokens
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if mode not in ("drop", "flag"):
+        raise ValueError("mode must be 'drop' or 'flag'")
+
+    def grams(df, out):
+        toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+        idxs = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+        )
+        return df.select(
+            F.col(id_col), toks.alias("__t"), F.explode(idxs).alias("__i")
+        ).select(
+            id_col,
+            F.md5(F.array_join(F.slice(F.col("__t"), F.col("__i"), n), " ")).alias(
+                out
+            ),
+        )
+
+    bench_fps = grams(benchmark, "__fp").select("__fp").distinct()
+    hits = (
+        grams(corpus, "__fp")
+        .join(bench_fps, "__fp")
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    if mode == "drop":
+        return corpus.join(hits.select(id_col), id_col, "left_anti")
+    return corpus.join(hits, id_col, "left").select(
+        *[F.col(c) for c in corpus.columns],
+        F.coalesce(F.col("__hit"), F.lit(False)).alias("contaminated"),
+    )

@@ -2,6 +2,7 @@
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from recipys_spark.operators.corpus import clean_corpus
 
@@ -106,3 +107,132 @@ def test_null_texts_are_not_duplicates_of_each_other(spark):
     )
     kept = _ids(exact_dedup(df))
     assert kept == {0, 2, 3}
+
+
+# -- cross-document paragraph dedup ------------------------------------------
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    import pandas as pd
+
+    from recipys_spark.operators.corpus import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "unique one\nshared footer\nunique two",
+                    "other content\nshared footer",
+                    "shared footer",
+                    "  \nreal body\n  ",
+                ],
+            }
+        )
+    )
+    out = {r.doc_id: r.text for r in dedup_paragraphs(docs).collect()}
+    # doc 1 owns the footer (lowest id); later copies deleted
+    assert out[1] == "unique one\nshared footer\nunique two"
+    assert out[2] == "other content"
+    # doc 3 was ONLY the duplicate → dropped entirely
+    assert 3 not in out
+    # layout-only blank paragraphs pass through untouched
+    assert out[4] == "  \nreal body\n  "
+
+
+def test_dedup_paragraphs_within_doc_repeats(spark):
+    """A paragraph repeated INSIDE one document keeps only its first
+    position too (same first-global-occurrence rule)."""
+    import pandas as pd
+
+    from recipys_spark.operators.corpus import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "text": ["a\nb\na\nc\na"]})
+    )
+    out = dedup_paragraphs(docs).collect()
+    assert out[0].text == "a\nb\nc"
+
+
+def test_dedup_paragraphs_partition_invariant(spark):
+    import pandas as pd
+
+    from recipys_spark.operators.corpus import dedup_paragraphs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\nfooter "), F.col("source")
+        ).alias("text"),
+    )
+    a = sorted((r.doc_id, r.text) for r in dedup_paragraphs(docs).collect())
+    b = sorted(
+        (r.doc_id, r.text)
+        for r in dedup_paragraphs(docs.repartition(17)).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+# -- benchmark decontamination ------------------------------------------------
+
+
+def test_ngram_decontaminate_drop_and_flag(spark):
+    import pandas as pd
+
+    from recipys_spark.operators.corpus import ngram_decontaminate
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog today",
+                    "completely unrelated text about spark pipelines here",
+                    "too short",  # < n words: can never collide
+                ],
+            }
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["quick brown fox jumps over"]})
+    )
+    kept = sorted(r.doc_id for r in ngram_decontaminate(corpus, bench, n=5).collect())
+    assert kept == [11, 12]
+    flags = {
+        r.doc_id: r.contaminated
+        for r in ngram_decontaminate(corpus, bench, n=5, mode="flag").collect()
+    }
+    assert flags == {10: True, 11: False, 12: False}
+    with pytest.raises(ValueError):
+        ngram_decontaminate(corpus, bench, n=0)
+    with pytest.raises(ValueError):
+        ngram_decontaminate(corpus, bench, mode="purge")
+
+
+def test_ngram_decontaminate_boundary_overlap(spark):
+    """The contaminated n-gram may START anywhere — including the last
+    possible shingle — and whitespace/case differences don't defeat
+    the match (both sides normalize identically)."""
+    import pandas as pd
+
+    from recipys_spark.operators.corpus import ngram_decontaminate
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "lead in words then THE  Secret\tPHRASE appears here",
+                    "the secret phrase",  # only 3 words: no 4-gram match
+                ],
+            }
+        )
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["The Secret Phrase Appears"]})
+    )
+    flags = {
+        r.doc_id: r.contaminated
+        for r in ngram_decontaminate(corpus, bench, n=4, mode="flag").collect()
+    }
+    assert flags == {1: True, 2: False}
