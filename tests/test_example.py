@@ -18,7 +18,8 @@ def test_example_runs_end_to_end():
         [sys.executable, os.path.join(REPO, "examples", "transcripts_pipeline.py")],
         capture_output=True,
         text=True,
-        timeout=420,
+        timeout=900,  # generous: host contention once hit 420 s
+        
         cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]

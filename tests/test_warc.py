@@ -143,3 +143,45 @@ def test_warc_to_documents_pipeline(spark):
     sig = gopher_signals(docs).collect()
     assert len(sig) == 25
     assert all(r.n_words > 0 for r in sig)
+
+
+# -- second review-pass regressions ------------------------------------------
+
+
+def test_gzip_member_splitting_is_linear_and_tolerates_padding():
+    """O(bytes): feeding payload[pos:] per member was quadratic (48 s
+    for 40 MB / 4k members). Also: trailing non-gzip padding after the
+    last member must be ignored, and a truncated member must raise."""
+    import time
+
+    members = [(b"x%d " % i) * 200 for i in range(4000)]
+    blob = b"".join(gzip.compress(m, 1) for m in members)
+    t0 = time.time()
+    got = split_gzip_members(blob)
+    assert time.time() - t0 < 5, "member splitting must be O(bytes)"
+    assert got == members
+    # trailing block padding (some WARC writers / block stores)
+    assert split_gzip_members(gzip.compress(b"hello") + b"\x00" * 16) == [b"hello"]
+    # truncated member fails loudly
+    whole = gzip.compress(b"payload" * 100)
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        split_gzip_members(whole[: len(whole) // 2])
+
+
+def test_parse_warc_truncated_record_raises():
+    """Content-Length past end-of-data is the partial-download case —
+    must raise, not emit a silently short body."""
+    data = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 100\r\n\r\nshort"
+    )
+    with pytest.raises(ValueError, match="truncated WARC record"):
+        parse_warc_bytes(data)
+
+
+def test_parse_warc_lf_separators_tolerated():
+    body = b"ok"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 2\r\n\r\n" + body
+    )
+    recs = parse_warc_bytes(rec + b"\n\n" + rec)
+    assert len(recs) == 2 and all(r["body"] == body for r in recs)
