@@ -29,3 +29,17 @@ def test_example_runs_end_to_end():
     assert "recall@3 vs brute tier:" in out
     # the advisor line printed real params
     assert "'n_planes':" in out
+
+
+def test_webcorpus_example_runs_end_to_end():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "webcorpus_pipeline.py")],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = proc.stdout
+    assert "== ingest == 40 archives -> 200 documents" in out
+    assert "== packing ==" in out and "sequences of 64" in out
