@@ -992,6 +992,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_decontaminate"] = decontaminate
 
+    # deterministic train/val/test split: one hash coin, leakage-safe
+    # unit assignment, reproducible at any partitioning (randomSplit
+    # is none of those)
+    def dataset_split(s, d):
+        from recipys_spark.operators.packing import split_dataset
+
+        return split_dataset(
+            _t(s, d, "documents"),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            key_cols=["doc_id"],
+        ).select("doc_id", "split")
+
+    q["dataset_split"] = dataset_split
+
     # -- multimodal plumbing (stubbed decode) → rows-only ---------------------------
     def media_features(s, d):
         return extract_features(synthetic_media(s, n=200)).select(
@@ -1140,6 +1154,7 @@ _DEFER_TO_BACK = [
     "warc_extract",
     "dedup_jaccard",
     "winnow_overlap",
+    "impute_bfill",
 ]
 
 _DRIVER_WINDOW = 50
@@ -1960,6 +1975,15 @@ def oracle_sql() -> dict[str, str]:
         "hits AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (fp)) "
         "SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated "
         "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+    )
+
+    # split thresholds: cumulative over SORTED split names (test=0.1,
+    # train=+0.8, val=rest) — same integer boundaries the operator
+    # resolves driver-side
+    o["dataset_split"] = (
+        f"SELECT doc_id, CASE WHEN {_coin} < 100000000 THEN 'test' "
+        f"WHEN {_coin} < 900000000 THEN 'train' ELSE 'val' END AS split "
+        "FROM documents"
     )
 
     # no oracles (UDF decode plumbing — no decoder in DuckDB):

@@ -77,6 +77,7 @@ HEADLINE = [
     "warc_extract",
     "dedup_paragraphs",
     "ngram_decontaminate",
+    "dataset_split",
 ]
 
 # transcript volume for the recipe-bake throughput number. 1M convs

@@ -68,7 +68,9 @@ from recipys_spark.operators.packing import (
     chunk_documents,
     deterministic_sample,
     pack_sequences,
+    split_dataset,
     weighted_domain_sample,
+    write_training_shards,
 )
 from recipys_spark.operators.rangejoin import range_join
 from recipys_spark.operators.similarity import (
@@ -151,9 +153,11 @@ __all__ = [
     "parse_warc_records",
     "quantize_embeddings",
     "recommend_lsh_params",
+    "split_dataset",
     "train_bpe",
     "url_features",
     "weighted_domain_sample",
+    "write_training_shards",
     "range_join",
     "simhash_clusters",
     "time_rollup",

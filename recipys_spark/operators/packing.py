@@ -325,3 +325,81 @@ def chunk_documents(
             ).alias("chunk_n_tokens"),
         )
     )
+
+
+def split_dataset(
+    df: DataFrame,
+    weights: dict,
+    key_cols: Sequence[str],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one hash coin buckets
+    each sampling unit into the named splits by weight (e.g.
+    {"train": 0.98, "val": 0.01, "test": 0.01}) — reproducible at any
+    partitioning/cluster size, leakage-safe when keyed on the
+    conversation/document id (every row of a unit lands in the SAME
+    split), and stable under re-runs (``randomSplit`` is none of
+    those). Weights must sum to 1 within 1e-9; boundaries resolve to
+    integer thresholds driver-side (split names sorted for
+    determinism). Appends ``split_col``."""
+    if not weights:
+        raise ValueError("weights must be a non-empty dict")
+    total = float(sum(weights.values()))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    coin = sample_hash(key_cols, seed)
+    expr = None
+    acc = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        acc += float(weights[name])
+        upper = int(round(acc * SAMPLE_MOD))
+        cond = coin < F.lit(upper)
+        branch = F.lit(name)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str = "seq_id",
+    num_shards: int = 32,
+    max_records_per_file: int = 1_000_000,
+) -> dict:
+    """Materialize a training-ready dataset: range-partition by the
+    sequence order, sort within shards, write parquet with bounded
+    file sizes, and drop a ``_manifest.json`` (row count, shard count,
+    order column, write options) the trainer's data loader can trust
+    without listing the bucket. Returns the manifest dict.
+
+    Range partitioning keeps each shard a CONTIGUOUS slice of the
+    training order — samplers that stream shards sequentially see the
+    same curriculum the packing defined; ``maxRecordsPerFile`` bounds
+    memory per reader task at 10^12-token scale."""
+    import json
+    import os
+
+    (
+        df.repartitionByRange(num_shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
+    back = df.sparkSession.read.parquet(path)
+    manifest = {
+        "rows": back.count(),
+        "order_col": order_col,
+        "num_shards": num_shards,
+        "max_records_per_file": max_records_per_file,
+        "columns": back.columns,
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

@@ -292,3 +292,68 @@ def test_chunk_documents_empty_and_null_docs_emit_nothing(spark):
     )
     out = chunk_documents(df, max_tokens=2).collect()
     assert sorted(r.doc_id for r in out) == [0, 0]
+
+
+def test_split_dataset_semantics(spark):
+    from recipys_spark.operators.packing import split_dataset
+
+    docs = spark.read.parquet(DOCS)
+    out = split_dataset(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"])
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert abs(counts.get("train", 0) / 500 - 0.8) < 0.08
+    # partitioning-invariant assignment
+    a = sorted((r.doc_id, r.split) for r in out.select("doc_id", "split").collect())
+    b = sorted(
+        (r.doc_id, r.split)
+        for r in split_dataset(
+            docs.repartition(19), {"train": 0.8, "val": 0.1, "test": 0.1},
+            ["doc_id"],
+        ).select("doc_id", "split").collect()
+    )
+    assert a == b
+    # leakage safety: keying on a coarser unit puts every row of the
+    # unit in the same split
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    by_user = split_dataset(ev, {"train": 0.5, "test": 0.5}, ["user_id"])
+    mixed = by_user.groupBy("user_id").agg(
+        F.countDistinct("split").alias("n")
+    )
+    assert mixed.where(F.col("n") > 1).count() == 0
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_dataset(docs, {"train": 0.9}, ["doc_id"])
+    with pytest.raises(ValueError, match="non-negative"):
+        split_dataset(docs, {"a": 1.5, "b": -0.5}, ["doc_id"])
+
+
+def test_write_training_shards_contiguous(spark, tmp_path):
+    from recipys_spark.operators.packing import (
+        pack_sequences,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(DOCS).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, seq_len=256)
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(packed, path, num_shards=4)
+    assert manifest["rows"] == packed.count()
+    assert manifest["order_col"] == "seq_id"
+    import json
+    import os
+
+    on_disk = json.load(open(os.path.join(path, "_manifest.json")))
+    assert on_disk == manifest
+    # shards are contiguous, non-overlapping slices of the training
+    # order: per-file [min, max] seq_id intervals must not interleave
+    back = spark.read.parquet(path).select(
+        "seq_id", F.input_file_name().alias("f")
+    )
+    spans = (
+        back.groupBy("f").agg(F.min("seq_id").alias("lo"), F.max("seq_id").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    for a, b in zip(spans, spans[1:]):
+        assert a.hi <= b.lo, (a, b)
