@@ -1006,6 +1006,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dataset_split"] = dataset_split
 
+    # m-estimate target encoding (sklearn TargetEncoder analog): fit
+    # on events (event_type → smoothed mean of value), frozen mapping
+    def target_encode(s, d):
+        from recipys_spark.operators.encode import StepTargetEncode
+
+        ev = _t(s, d, "events")
+        rec = Recipe(ev, outcomes=["value"], predictors=["event_type"])
+        rec.add_step(
+            StepTargetEncode(sel=all_of(["event_type"]), smoothing=10.0)
+        )
+        return rec.prep().select("event_id", "event_type", "event_type_target")
+
+    q["target_encode"] = target_encode
+
+    # hashing-trick encoder: stateless, vocabulary-free — the
+    # categorical path at 10^9-distinct-value scale; md5 family → full
+    # DuckDB mirror
+    def hash_encode(s, d):
+        from recipys_spark.operators.encode import StepHashEncode
+
+        ev = _t(s, d, "events")
+        rec = Recipe(ev, outcomes=["value"], predictors=["event_type"])
+        rec.add_step(StepHashEncode(sel=all_of(["event_type"]), n_features=64))
+        return rec.prep().select("event_id", "event_type", "event_type_hash")
+
+    q["hash_encode"] = hash_encode
+
     # -- multimodal plumbing (stubbed decode) → rows-only ---------------------------
     def media_features(s, d):
         return extract_features(synthetic_media(s, n=200)).select(
@@ -1155,6 +1182,8 @@ _DEFER_TO_BACK = [
     "dedup_jaccard",
     "winnow_overlap",
     "impute_bfill",
+    "dedup_jaccard_ngram",
+    "rolling_mean_3",
 ]
 
 _DRIVER_WINDOW = 50
@@ -1984,6 +2013,26 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, CASE WHEN {_coin} < 100000000 THEN 'test' "
         f"WHEN {_coin} < 900000000 THEN 'train' ELSE 'val' END AS split "
         "FROM documents"
+    )
+
+    # target encoding: det_mean / det_sum mirrored via VARCHAR-routed
+    # decimal casts; the smoothing arithmetic is plain IEEE doubles in
+    # the same order the driver-side fit computes them
+    o["target_encode"] = (
+        f"WITH g AS (SELECT CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / count(value) AS gm FROM events), "
+        f"c AS (SELECT event_type, CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS s, count(*) AS n FROM events "
+        "WHERE event_type IS NOT NULL AND value IS NOT NULL "
+        "GROUP BY event_type) "
+        "SELECT e.event_id, e.event_type, "
+        "COALESCE((c.s + 10.0 * g.gm) / (c.n + 10.0), g.gm) "
+        "AS event_type_target "
+        "FROM events e CROSS JOIN g LEFT JOIN c USING (event_type)"
+    )
+    o["hash_encode"] = (
+        "SELECT event_id, event_type, "
+        "CASE WHEN event_type IS NOT NULL THEN "
+        "CAST(concat('0x', substring(md5(concat(event_type, '#42')), 1, 15)) "
+        "AS BIGINT) % 64 END AS event_type_hash FROM events"
     )
 
     # no oracles (UDF decode plumbing — no decoder in DuckDB):

@@ -78,6 +78,8 @@ HEADLINE = [
     "dedup_paragraphs",
     "ngram_decontaminate",
     "dataset_split",
+    "target_encode",
+    "hash_encode",
 ]
 
 # transcript volume for the recipe-bake throughput number. 1M convs

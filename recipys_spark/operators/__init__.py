@@ -26,11 +26,13 @@ from recipys_spark.operators.scale import (
     StepScale,
 )
 from recipys_spark.operators.encode import (
+    StepHashEncode,
     StepLabelBinarize,
     StepLabelEncode,
     StepMissingIndicator,
     StepOneHotEncode,
     StepOrdinalEncode,
+    StepTargetEncode,
 )
 from recipys_spark.operators.mathtrans import (
     StepLog1p,
@@ -100,6 +102,7 @@ __all__ = [
     "StepAsofJoin",
     "StepBinarize",
     "StepFunction",
+    "StepHashEncode",
     "StepHistorical",
     "StepImputeFastForwardFill",
     "StepImputeFastZeroFill",
@@ -128,6 +131,7 @@ __all__ = [
     "StepSklearn",
     "StepSpline",
     "StepGopherSignals",
+    "StepTargetEncode",
     "StepTextFeatures",
     "annotate_filter",
     "asof_join",

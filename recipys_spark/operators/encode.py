@@ -282,3 +282,180 @@ class StepLabelBinarize(Step):
         self.columns = state["columns"]
         self.categories = state["categories"]
         self._trained = True
+
+
+class StepTargetEncode(Step):
+    """m-estimate target (mean) encoding — sklearn TargetEncoder
+    semantics with explicit smoothing: category c maps to
+
+        (sum_y(c) + smoothing * global_mean) / (count(c) + smoothing)
+
+    Fit aggregates per-category outcome sums/counts (ONE shuffle over
+    the fit data, state bounded by max_categories) and freezes the
+    mapping — the prep/bake leakage boundary every fitted step gets:
+    bake NEVER sees its own outcomes, so the encoder cannot leak
+    apply-time labels. Unknown categories and NULLs at transform time
+    map to the fitted global mean (sklearn's unknown_value behavior).
+
+    ``outcome_col=None`` resolves the recipe's outcome role at fit
+    time. Deterministic decimal accumulation makes the fitted means
+    bit-identical at any parallelism."""
+
+    _uses_groups = False
+    _uses_sequence = False
+    _row_preserving = True
+
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        outcome_col: Optional[str] = None,
+        smoothing: float = 20.0,
+        max_categories: int = 10_000,
+    ) -> None:
+        from recipys_spark.selector import has_type
+
+        super().__init__(sel if sel is not None else has_type("string"))
+        if smoothing < 0:
+            raise ValueError("smoothing must be >= 0")
+        self.outcome_col = outcome_col
+        self.smoothing = smoothing
+        self.max_categories = max_categories
+        self.state: dict = {}
+        self.desc = f"Target-encode (m={smoothing})"
+
+    def _resolve_outcome(self, ingredients: Ingredients) -> str:
+        if self.outcome_col is not None:
+            return self.outcome_col
+        outs = [
+            c for c, roles in ingredients.roles.items() if "outcome" in roles
+        ]
+        if len(outs) != 1:
+            raise ValueError(
+                f"StepTargetEncode needs outcome_col= or exactly one "
+                f"outcome-role column; found {outs}"
+            )
+        return outs[0]
+
+    def do_fit(self, ingredients: Ingredients) -> None:
+        from recipys_spark.functions.deterministic import det_mean, det_sum
+
+        df = ingredients.df
+        y = self._resolve_outcome(ingredients)
+        g = df.agg(
+            det_mean(F.col(y).cast("double")).alias("gm")
+        ).first()
+        global_mean = float(g.gm) if g.gm is not None else 0.0
+        self.state = {"__global_mean": global_mean, "__outcome": y}
+        for c in self.columns:
+            if c == y:
+                raise ValueError("cannot target-encode the outcome itself")
+            rows = (
+                df.where(F.col(c).isNotNull() & F.col(y).isNotNull())
+                .groupBy(c)
+                .agg(
+                    det_sum(F.col(y).cast("double")).cast("double").alias("s"),
+                    F.count("*").alias("n"),
+                )
+                .orderBy(F.col("n").desc(), F.col(c))
+                .limit(self.max_categories + 1)
+                .collect()
+            )
+            if len(rows) > self.max_categories:
+                raise ValueError(
+                    f"StepTargetEncode: column {c!r} exceeds max_categories="
+                    f"{self.max_categories}; raise the cap or hash-encode instead"
+                )
+            m = self.smoothing
+            self.state[c] = {
+                r[c]: (float(r.s) + m * global_mean) / (r.n + m) for r in rows
+            }
+
+    def new_column_roles(self) -> dict:
+        return {f"{c}_target": "predictor" for c in self.columns}
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        gm = self.state["__global_mean"]
+        exprs = []
+        for c in self.columns:
+            mapping = self.state[c]
+            if mapping:
+                keys = F.array(*[F.lit(k) for k in mapping])
+                vals = F.array(*[F.lit(v) for v in mapping.values()])
+                e = F.coalesce(
+                    F.map_from_arrays(keys, vals)[F.col(c)], F.lit(gm)
+                )
+            else:
+                e = F.lit(gm)
+            exprs.append(e.alias(f"{c}_target"))
+        return df.select("*", *exprs)
+
+    def get_state(self) -> dict:
+        return {"columns": self.columns, "state": self.state}
+
+    def set_state(self, state: dict) -> None:
+        self.columns = state["columns"]
+        self.state = state["state"]
+        self._trained = True
+
+
+class StepHashEncode(Step):
+    """Hashing-trick encoder (sklearn FeatureHasher / vw-style):
+    category → ``hash(category) % n_features`` as an integer index
+    column ``{c}_hash``. STATELESS — no vocabulary, no fit pass, no
+    cardinality cap, no unknown-category problem: the properties that
+    make it the default categorical path at 10^9-distinct-value scale
+    (user ids, URLs) where fitted vocabularies cannot exist.
+
+    ``hash_family="md5"`` (default) uses the portable 60-bit md5 coin
+    (exact DuckDB mirror); ``"xxhash64"`` is the cheaper JVM-only
+    production path. NULL stays NULL (a NULL category is missing
+    data, not bucket 0)."""
+
+    _uses_groups = False
+    _uses_sequence = False
+    _row_preserving = True
+
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        n_features: int = 1 << 18,
+        seed: int = 42,
+        hash_family: str = "md5",
+    ) -> None:
+        from recipys_spark.selector import has_type
+
+        super().__init__(sel if sel is not None else has_type("string"))
+        if n_features < 1:
+            raise ValueError("n_features must be >= 1")
+        if hash_family not in ("md5", "xxhash64"):
+            raise ValueError("hash_family must be 'md5' or 'xxhash64'")
+        self.n_features = n_features
+        self.seed = seed
+        self.hash_family = hash_family
+        # stateless, but fit still runs (the no-op default) so the
+        # selector resolves columns against the live schema
+        self.desc = f"Hash-encode into {n_features} buckets"
+
+    def new_column_roles(self) -> dict:
+        return {f"{c}_hash": "predictor" for c in self.columns}
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        exprs = []
+        for c in self.columns:
+            col = F.col(c).cast("string")
+            if self.hash_family == "md5":
+                h = F.md5(F.concat(col, F.lit(f"#{self.seed}")))
+                e = (
+                    F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+                    % F.lit(self.n_features)
+                )
+            else:
+                e = F.pmod(
+                    F.xxhash64(col, F.lit(self.seed)), F.lit(self.n_features)
+                )
+            exprs.append(
+                F.when(F.col(c).isNotNull(), e).cast("long").alias(f"{c}_hash")
+            )
+        return df.select("*", *exprs)

@@ -386,3 +386,78 @@ def test_quantile_steps_share_one_count_probe(spark, example_df):
     with mock.patch.object(cls, "count", counting):
         rec.prep()
     assert sum(calls) == 1, f"expected one shared probe, saw {sum(calls)}"
+
+
+def test_target_encode_m_estimate_and_bake_freeze(spark):
+    """Hand-computed m-estimate means; unknown/NULL categories map to
+    the fitted global mean; bake NEVER refits (no apply-time label
+    leakage)."""
+    import math
+
+    import pandas as pd
+
+    from recipys_spark.operators.encode import StepTargetEncode
+    from recipys_spark.selector import all_of
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cat": ["a", "a", "a", "b", "b", "c", None],
+                "y": [1.0, 1.0, 0.0, 0.0, 0.0, 1.0, 1.0],
+            }
+        )
+    )
+    step = StepTargetEncode(sel=all_of(["cat"]), smoothing=2.0)
+    rec = Recipe(df, outcomes=["y"], predictors=["cat"]).add_step(step)
+    out = {r.cat: r.cat_target for r in rec.prep().collect()}
+    gm = 4.0 / 7.0
+    assert math.isclose(out["a"], (2.0 + 2 * gm) / 5.0)
+    assert math.isclose(out["b"], (0.0 + 2 * gm) / 4.0)
+    assert math.isclose(out[None], gm)
+    frozen = dict(step.state)
+    # bake on data with WILDLY different labels must reuse train state
+    new = spark.createDataFrame(
+        pd.DataFrame({"cat": ["a", "zzz"], "y": [100.0, 100.0]})
+    )
+    baked = {r.cat: r.cat_target for r in rec.bake(new).collect()}
+    assert math.isclose(baked["a"], out["a"])  # train mapping, not 100
+    assert math.isclose(baked["zzz"], gm)  # unknown → train global mean
+    assert step.state == frozen
+    # state round-trip
+    st = step.get_state()
+    step2 = StepTargetEncode(sel=all_of(["cat"]), smoothing=2.0)
+    step2.set_state(st)
+    assert step2.state == frozen
+    with pytest.raises(ValueError, match="outcome itself"):
+        bad = StepTargetEncode(sel=all_of(["y"]))
+        Recipe(df, outcomes=["y"], predictors=["cat"]).add_step(bad).prep()
+
+
+def test_hash_encode_stateless_and_portable(spark):
+    import pandas as pd
+
+    from recipys_spark.operators.encode import StepHashEncode
+    from recipys_spark.selector import all_of
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"cat": ["a", "b", "c", None], "y": [0.0, 1.0, 0.0, 1.0]})
+    )
+
+    def run(**kw):
+        rec = Recipe(df, outcomes=["y"], predictors=["cat"]).add_step(
+            StepHashEncode(sel=all_of(["cat"]), n_features=16, **kw)
+        )
+        return {r.cat: r.cat_hash for r in rec.prep().collect()}
+
+    md5 = run()
+    assert md5[None] is None
+    assert all(v is None or 0 <= v < 16 for v in md5.values())
+    # deterministic across partitioning and identical on re-run
+    assert run() == md5
+    # xxhash64 family also lands in range (values differ — JVM-only path)
+    xx = run(hash_family="xxhash64")
+    assert all(v is None or 0 <= v < 16 for v in xx.values())
+    with pytest.raises(ValueError):
+        StepHashEncode(n_features=0)
+    with pytest.raises(ValueError):
+        StepHashEncode(hash_family="sha1")
