@@ -60,7 +60,9 @@ def main() -> None:
           f"{survivors.count()} after clean_corpus")
 
     # -- 4. decontamination against an eval set ------------------------
-    bench = survivors.limit(3).select("doc_id", "text")  # stand-in eval set
+    # deterministic stand-in eval set (bare limit() is order-unstable
+    # and re-resolved per action)
+    bench = survivors.orderBy("doc_id").limit(3).select("doc_id", "text")
     train_docs = ngram_decontaminate(
         survivors.select("doc_id", "text"), bench, n=5
     )

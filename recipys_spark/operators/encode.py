@@ -290,9 +290,9 @@ class StepTargetEncode(Step):
 
         (sum_y(c) + smoothing * global_mean) / (count(c) + smoothing)
 
-    Fit aggregates per-category outcome sums/counts (ONE shuffle over
-    the fit data, state bounded by max_categories) and freezes the
-    mapping — the prep/bake leakage boundary every fitted step gets:
+    Fit runs one per-category aggregation job per selected column plus
+    one global-mean job (state bounded by max_categories) and freezes
+    the mapping — the prep/bake leakage boundary every fitted step gets:
     bake NEVER sees its own outcomes, so the encoder cannot leak
     apply-time labels. Unknown categories and NULLs at transform time
     map to the fitted global mean (sklearn's unknown_value behavior).
@@ -349,6 +349,9 @@ class StepTargetEncode(Step):
         for c in self.columns:
             if c == y:
                 raise ValueError("cannot target-encode the outcome itself")
+            # limit without orderBy: if over the cap we RAISE (which
+            # subset arrives is irrelevant), if under it every row
+            # arrives — so no global sort is needed
             rows = (
                 df.where(F.col(c).isNotNull() & F.col(y).isNotNull())
                 .groupBy(c)
@@ -356,7 +359,6 @@ class StepTargetEncode(Step):
                     det_sum(F.col(y).cast("double")).cast("double").alias("s"),
                     F.count("*").alias("n"),
                 )
-                .orderBy(F.col("n").desc(), F.col(c))
                 .limit(self.max_categories + 1)
                 .collect()
             )
@@ -391,11 +393,32 @@ class StepTargetEncode(Step):
         return df.select("*", *exprs)
 
     def get_state(self) -> dict:
-        return {"columns": self.columns, "state": self.state}
+        # parallel key/value LISTS, not a dict: json.dump stringifies
+        # dict keys WITHOUT the manifest's _tag_value hook, so typed
+        # categories (dates, ints, floats) would corrupt or crash the
+        # save_state round-trip — list elements go through tagging
+        out = {
+            "columns": self.columns,
+            "global_mean": self.state["__global_mean"],
+            "outcome": self.state["__outcome"],
+            "mappings": {
+                c: {
+                    "keys": list(self.state[c]),
+                    "values": list(self.state[c].values()),
+                }
+                for c in self.columns
+            },
+        }
+        return out
 
     def set_state(self, state: dict) -> None:
         self.columns = state["columns"]
-        self.state = state["state"]
+        self.state = {
+            "__global_mean": state["global_mean"],
+            "__outcome": state["outcome"],
+        }
+        for c, m in state["mappings"].items():
+            self.state[c] = dict(zip(m["keys"], m["values"]))
         self._trained = True
 
 
@@ -446,11 +469,9 @@ class StepHashEncode(Step):
         for c in self.columns:
             col = F.col(c).cast("string")
             if self.hash_family == "md5":
-                h = F.md5(F.concat(col, F.lit(f"#{self.seed}")))
-                e = (
-                    F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-                    % F.lit(self.n_features)
-                )
+                from recipys_spark.operators.packing import md5_long
+
+                e = md5_long(col, self.seed) % F.lit(self.n_features)
             else:
                 e = F.pmod(
                     F.xxhash64(col, F.lit(self.seed)), F.lit(self.n_features)

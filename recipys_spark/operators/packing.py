@@ -27,13 +27,28 @@ from pyspark.sql import functions as F
 SAMPLE_MOD = 1_000_000_000
 
 
+def md5_long(col, seed: int = 42):
+    """The portable 60-bit md5 coin: md5(value + '#seed'), first 15 hex
+    chars parsed base-16 — non-negative int64 with an exact DuckDB
+    mirror (CAST(concat('0x', substring(md5(...), 1, 15)) AS BIGINT)).
+    The ONE shared implementation of this idiom (sampling, splits,
+    hash encoding) so the cross-engine arithmetic cannot drift."""
+    h = F.md5(F.concat(col.cast("string"), F.lit(f"#{seed}")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
 def sample_hash(cols: Sequence, seed: int = 42):
     """Uniform [0, SAMPLE_MOD) hash of the key columns — the sampling
     coin. md5 of the '|'-joined key + seed (cross-engine mirrorable;
     the xxhash64 family would be JVM-only)."""
-    key = F.concat_ws("|", *[F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols])
-    h = F.md5(F.concat(key, F.lit(f"#{seed}")))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(SAMPLE_MOD)
+    key = F.concat_ws(
+        "|",
+        *[
+            (F.col(c) if isinstance(c, str) else c).cast("string")
+            for c in cols
+        ],
+    )
+    return md5_long(key, seed) % F.lit(SAMPLE_MOD)
 
 
 def deterministic_sample(
@@ -381,10 +396,27 @@ def write_training_shards(
     Range partitioning keeps each shard a CONTIGUOUS slice of the
     training order — samplers that stream shards sequentially see the
     same curriculum the packing defined; ``maxRecordsPerFile`` bounds
-    memory per reader task at 10^12-token scale."""
+    memory per reader task at 10^12-token scale.
+
+    The manifest records the ACTUAL file count (range partitioning can
+    produce fewer non-empty shards than requested, and
+    maxRecordsPerFile can split one shard into several files) — the
+    number a loader can trust. The manifest write itself uses the
+    local filesystem; for object-store paths (s3a://, hdfs://) this
+    raises with instructions rather than silently dropping the file
+    somewhere local."""
     import json
     import os
 
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            "write_training_shards writes _manifest.json via the local "
+            f"filesystem; got {path!r}. For object stores, write the "
+            "parquet yourself and emit the manifest through your "
+            "store's client (the parquet layout options are plain "
+            "DataFrameWriter settings)."
+        )
+    fs_path = path[len("file://"):] if path.startswith("file://") else path
     (
         df.repartitionByRange(num_shards, F.col(order_col))
         .sortWithinPartitions(order_col)
@@ -393,13 +425,15 @@ def write_training_shards(
         .parquet(path)
     )
     back = df.sparkSession.read.parquet(path)
+    n_files = back.select(F.input_file_name()).distinct().count()
     manifest = {
         "rows": back.count(),
         "order_col": order_col,
-        "num_shards": num_shards,
+        "num_files": n_files,
+        "requested_shards": num_shards,
         "max_records_per_file": max_records_per_file,
         "columns": back.columns,
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as f:
+    with open(os.path.join(fs_path, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest

@@ -340,6 +340,9 @@ def test_write_training_shards_contiguous(spark, tmp_path):
     manifest = write_training_shards(packed, path, num_shards=4)
     assert manifest["rows"] == packed.count()
     assert manifest["order_col"] == "seq_id"
+    assert manifest["num_files"] >= 1  # ACTUAL files, not the request
+    with pytest.raises(ValueError, match="local filesystem"):
+        write_training_shards(packed, "s3a://bucket/shards")
     import json
     import os
 

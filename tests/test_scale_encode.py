@@ -452,8 +452,13 @@ def test_hash_encode_stateless_and_portable(spark):
     md5 = run()
     assert md5[None] is None
     assert all(v is None or 0 <= v < 16 for v in md5.values())
-    # deterministic across partitioning and identical on re-run
+    # identical on re-run AND across repartitioning (hash of content,
+    # not of placement)
     assert run() == md5
+    rec_rep = Recipe(
+        df.repartition(7), outcomes=["y"], predictors=["cat"]
+    ).add_step(StepHashEncode(sel=all_of(["cat"]), n_features=16))
+    assert {r.cat: r.cat_hash for r in rec_rep.prep().collect()} == md5
     # xxhash64 family also lands in range (values differ — JVM-only path)
     xx = run(hash_family="xxhash64")
     assert all(v is None or 0 <= v < 16 for v in xx.values())
