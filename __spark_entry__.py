@@ -1153,10 +1153,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # The external correctness gate consumes the FIRST 50 registry entries in
 # insertion order. Everything not yet driver-verified must sit inside
-# that window; these entries — green in CORRECTNESS_r02 AND r03 (the
-# long-stable trivia) plus the rows-only multimodal decode tier (no
-# DuckDB codec exists, so a driver row adds no hash signal) — are the
-# ones that can safely yield their slots, in this order, last first.
+# that window; these entries — green in at least TWO driver rounds (the
+# long-stable trivia) or rows-only AND already driver-recorded in a past
+# round — are the ones that can safely yield their slots.
+# Round-5 rotation (VERDICT r4 #2): bpe_real_token_count,
+# multimodal_png/wav/jpeg_decode and warc_extract had never held a
+# window slot (added after their cohort shipped), so they move to the
+# front for one recorded round; seven r03+r04 double-green trivia
+# (hist_min/count, impute_ffill, lag_lead, log1p, ordinal, polynomial)
+# yield their slots.
 _DEFER_TO_BACK = [
     "join_orders_customer",
     "topk_per_user",
@@ -1170,20 +1175,22 @@ _DEFER_TO_BACK = [
     "resample_2h_last",
     "asof_join_tolerance",
     "session_stats",
-    "bpe_real_token_count",
     "multimodal_features",
     "multimodal_real_decode",
-    "multimodal_png_decode",
-    "multimodal_wav_decode",
-    "multimodal_jpeg_decode",
     "scale_minmax",
     "kbins_uniform",
-    "warc_extract",
     "dedup_jaccard",
     "winnow_overlap",
     "impute_bfill",
     "dedup_jaccard_ngram",
     "rolling_mean_3",
+    "hist_min",
+    "hist_count",
+    "impute_ffill",
+    "lag_lead",
+    "log1p_transform",
+    "ordinal_encode",
+    "polynomial_features",
 ]
 
 _DRIVER_WINDOW = 50
@@ -1888,14 +1895,18 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # -- training-data assembly mirrors (operators/packing.py) --------------
-    # the md5 sampling coin: 60-bit hex prefix of md5(key || '#seed'),
-    # mod 10^9 — identical arithmetic on both engines
-    _coin = (
-        "CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), "
-        "'#42')), 1, 15)) AS BIGINT) % 1000000000"
-    )
+    # the md5 sampling coin: 60-bit hex prefix of md5(key || '#domain'
+    # || '#seed'), mod 10^9 — identical arithmetic on both engines; the
+    # domain tag makes each operation's coin independent (ADVICE r4:
+    # sample-then-split on a shared coin put every survivor in one split)
+    def _coin(domain):
+        return (
+            "CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR), "
+            f"'#{domain}#42')), 1, 15)) AS BIGINT) % 1000000000"
+        )
+
     o["hash_sample"] = (
-        f"SELECT doc_id, source FROM documents WHERE {_coin} < 250000000"
+        f"SELECT doc_id, source FROM documents WHERE {_coin('sample')} < 250000000"
     )
     # integer (whole, coin-threshold) literals per domain — the same
     # driver-side split the Spark operator does, so no binary-double
@@ -1906,7 +1917,7 @@ def oracle_sql() -> dict[str, str]:
         "WHEN 'src3' THEN 1 ELSE 0 END AS whole, "
         "CASE source WHEN 'src1' THEN 500000000 WHEN 'src2' THEN 250000000 "
         "WHEN 'src3' THEN 0 ELSE 0 END AS thresh, "
-        f"{_coin} AS coin FROM documents), "
+        f"{_coin('mix')} AS coin FROM documents), "
         "c AS (SELECT doc_id, source, "
         "whole + CASE WHEN coin < thresh THEN 1 ELSE 0 END AS copies FROM r) "
         "SELECT doc_id, source, CAST(u.sample_copy AS INT) AS sample_copy "
@@ -2010,8 +2021,8 @@ def oracle_sql() -> dict[str, str]:
     # train=+0.8, val=rest) — same integer boundaries the operator
     # resolves driver-side
     o["dataset_split"] = (
-        f"SELECT doc_id, CASE WHEN {_coin} < 100000000 THEN 'test' "
-        f"WHEN {_coin} < 900000000 THEN 'train' ELSE 'val' END AS split "
+        f"SELECT doc_id, CASE WHEN {_coin('split')} < 100000000 THEN 'test' "
+        f"WHEN {_coin('split')} < 900000000 THEN 'train' ELSE 'val' END AS split "
         "FROM documents"
     )
 

@@ -293,18 +293,28 @@ def ngram_decontaminate(
         )
 
     def grams(df, out):
+        # Bind the token array as a HOF lambda variable so the
+        # split/lower/trim chain runs ONCE per document. The naive
+        # alias-then-explode-then-slice form is collapsed by Catalyst
+        # into a post-Generate projection that re-evaluates the full
+        # tokenization per shingle row — O(words^2) per doc, which at
+        # web-document lengths (10^3 words) is catastrophic. Exploding
+        # a pre-materialized fingerprint array keeps it O(words * n).
         toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
-        idxs = F.when(
-            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
-        )
-        return df.select(
-            F.col(id_col), toks.alias("__t"), F.explode(idxs).alias("__i")
-        ).select(
-            id_col,
-            F.md5(F.array_join(F.slice(F.col("__t"), F.col("__i"), n), " ")).alias(
-                out
+        fps = F.get(
+            F.transform(
+                F.array(toks),
+                lambda t: F.when(
+                    F.size(t) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - n + 1),
+                        lambda i: F.md5(F.array_join(F.slice(t, i, n), " ")),
+                    ),
+                ),
             ),
+            F.lit(0),
         )
+        return df.select(F.col(id_col), F.explode(fps).alias(out))
 
     bench_fps = grams(benchmark, "__fp").select("__fp").distinct()
     hits = (

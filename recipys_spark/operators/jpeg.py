@@ -462,6 +462,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them, or a foreign encoder's padding would be
+        # misread as marker id 0xFF with a bogus segment length
+        while payload[pos + 1] == 0xFF and pos + 2 < len(payload):
+            pos += 1
         marker = payload[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2

@@ -37,10 +37,19 @@ def md5_long(col, seed: int = 42):
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
 
 
-def sample_hash(cols: Sequence, seed: int = 42):
+def sample_hash(cols: Sequence, seed: int = 42, domain: str = ""):
     """Uniform [0, SAMPLE_MOD) hash of the key columns — the sampling
-    coin. md5 of the '|'-joined key + seed (cross-engine mirrorable;
-    the xxhash64 family would be JVM-only)."""
+    coin. md5 of the '|'-joined key + domain + seed (cross-engine
+    mirrorable; the xxhash64 family would be JVM-only).
+
+    ``domain`` separates the coin per OPERATION: without it,
+    sample-then-split (or any chain of coin-based operators) on the
+    same key reuses the identical coin, so the downstream decision is
+    a deterministic function of the upstream one — e.g. every survivor
+    of a 10% sample would land in whichever split owns the lowest
+    boundary. Each operator passes its own domain tag
+    (``sample`` / ``mix`` / ``split``), making chained decisions
+    independent even at the same (key, seed)."""
     key = F.concat_ws(
         "|",
         *[
@@ -48,6 +57,8 @@ def sample_hash(cols: Sequence, seed: int = 42):
             for c in cols
         ],
     )
+    if domain:
+        key = F.concat(key, F.lit(f"#{domain}"))
     return md5_long(key, seed) % F.lit(SAMPLE_MOD)
 
 
@@ -77,7 +88,8 @@ def deterministic_sample(
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
     return df.where(
-        sample_hash(key_cols, seed) < F.lit(int(round(rate * SAMPLE_MOD)))
+        sample_hash(key_cols, seed, domain="sample")
+        < F.lit(int(round(rate * SAMPLE_MOD)))
     )
 
 
@@ -113,7 +125,7 @@ def weighted_domain_sample(
         whole = math.floor(r)
         return whole, int(round((r - whole) * SAMPLE_MOD))
 
-    coin = sample_hash(key_cols, seed)
+    coin = sample_hash(key_cols, seed, domain="mix")
     dw, dt = split_rate(float(default_rate))
     whole_expr, thresh_expr = F.lit(dw), F.lit(dt)
     for d, r in sorted(rates.items()):
@@ -258,8 +270,12 @@ def pack_sequences(
         "__n",
         (F.col("__local_end") + off).alias("__end"),
     ).withColumn("__start", F.col("__end") - F.col("__n"))
-    first = (F.col("__start") / seq_len).cast("long")
-    last = ((F.col("__end") - 1) / seq_len).cast("long")
+    # integer division (div), not double `/` + cast: the double quotient
+    # of offsets beyond 2^53 can round k - 1/seq_len up to k, emitting a
+    # phantom slice — `div` is exact at any global token offset and
+    # matches the oracle's `//`
+    first = F.expr(f"__start div {int(seq_len)}")
+    last = F.expr(f"(__end - 1) div {int(seq_len)}")
     return (
         g.withColumn("seq_id", F.explode(F.sequence(first, last)))
         .select(
@@ -365,7 +381,7 @@ def split_dataset(
         raise ValueError(f"weights must sum to 1, got {total}")
     if any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative")
-    coin = sample_hash(key_cols, seed)
+    coin = sample_hash(key_cols, seed, domain="split")
     expr = None
     acc = 0.0
     names = sorted(weights)
@@ -425,11 +441,23 @@ def write_training_shards(
         .parquet(path)
     )
     back = df.sparkSession.read.parquet(path)
-    n_files = back.select(F.input_file_name()).distinct().count()
+    # one read-back job for the whole manifest (count + distinct-file
+    # count together) — two separate scans would be two extra full
+    # passes over a 10^12-token dataset
+    stats = (
+        # input_file_name() is non-deterministic, so Spark 4 forbids it
+        # directly inside an aggregate — project it first
+        back.select(F.input_file_name().alias("__f"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("__f").alias("n_files"),
+        )
+        .first()
+    )
     manifest = {
-        "rows": back.count(),
+        "rows": stats["rows"],
         "order_col": order_col,
-        "num_files": n_files,
+        "num_files": stats["n_files"],
         "requested_shards": num_shards,
         "max_records_per_file": max_records_per_file,
         "columns": back.columns,

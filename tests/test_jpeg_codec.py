@@ -157,3 +157,32 @@ def test_spark_jpeg_pipeline(spark):
         assert ra.features == rb.features  # codec router hits the same tier
         assert len(ra.features) == 16
         assert all(np.isfinite(v) for v in ra.features)
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
+    marker (foreign encoders use them for alignment/padding). Insert
+    fill bytes before every non-entropy segment marker and require the
+    identical decode (ADVICE r4: the fill byte used to be read as the
+    marker id, yielding a bogus segment length)."""
+    import struct as _struct
+
+    img = gradient_rgb()
+    payload = encode_jpeg(img, 90)
+    base = decode_jpeg(payload)
+    # re-walk the segment stream and inject fill bytes before each
+    # marker up to (and including) SOS; entropy data stays untouched
+    out = bytearray(payload[:2])  # SOI
+    pos = 2
+    while True:
+        assert payload[pos] == 0xFF
+        marker = payload[pos + 1]
+        out += b"\xff\xff\xff"  # fill bytes, then the real marker
+        if marker == 0xDA:  # SOS: copy the rest verbatim
+            out += payload[pos:]
+            break
+        (seglen,) = _struct.unpack_from(">H", payload, pos + 2)
+        out += payload[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+    padded = decode_jpeg(bytes(out))
+    assert np.array_equal(padded, base)

@@ -277,7 +277,9 @@ def test_sampler_integer_thresholds_are_exact(spark):
     docs = spark.read.parquet(DOCS)
     coins = {
         r.doc_id: r.c
-        for r in docs.select("doc_id", sample_hash(["doc_id"]).alias("c")).collect()
+        for r in docs.select(
+            "doc_id", sample_hash(["doc_id"], domain="sample").alias("c")
+        ).collect()
     }
     kept = {r.doc_id for r in deterministic_sample(docs, 0.3, ["doc_id"]).collect()}
     for doc_id, c in coins.items():
@@ -360,3 +362,51 @@ def test_write_training_shards_contiguous(spark, tmp_path):
     )
     for a, b in zip(spans, spans[1:]):
         assert a.hi <= b.lo, (a, b)
+
+
+def test_sample_then_split_is_uniform(spark):
+    """ADVICE r4 (medium): sample → split chained on the SAME key must
+    not correlate. Before domain-separating the md5 coin, every
+    survivor of deterministic_sample(0.1) had a coin < 1e8 and
+    split_dataset's first sorted-name boundary was exactly 1e8 — the
+    entire sample landed in one split. With per-operation domain tags
+    the chained decisions are independent: each split's share of the
+    sample must be near its weight."""
+    from recipys_spark.operators.packing import split_dataset
+
+    docs = spark.read.parquet(DOCS)  # 500 docs
+    sampled = deterministic_sample(docs, 0.5, ["doc_id"])
+    out = split_dataset(
+        sampled, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"]
+    )
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total > 100
+    # all three splits populated, and train holds the clear majority —
+    # impossible under the old shared coin (one split took everything)
+    assert set(counts) == {"train", "val", "test"}, counts
+    assert 0.6 < counts["train"] / total < 0.95, counts
+    # and sampling first must not change a unit's split assignment
+    full_split = {
+        r.doc_id: r.split
+        for r in split_dataset(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"]
+        ).collect()
+    }
+    for r in out.collect():
+        assert full_split[r.doc_id] == r.split
+
+
+def test_mix_coin_independent_of_sample_coin(spark):
+    """The domain-mix coin and the sample coin on the same key must
+    differ for most keys (they were identical before domain tags)."""
+    from recipys_spark.operators.packing import sample_hash
+
+    docs = spark.read.parquet(DOCS)
+    pair = docs.select(
+        sample_hash(["doc_id"], domain="sample").alias("a"),
+        sample_hash(["doc_id"], domain="mix").alias("b"),
+    )
+    n_equal = pair.where(F.col("a") == F.col("b")).count()
+    assert n_equal <= 1  # collisions ~ n/1e9
