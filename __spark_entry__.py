@@ -672,6 +672,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_clean"] = corpus_clean
 
+    # -- full curation chain (VERDICT r4 #7): clean_corpus ->
+    # dedup_paragraphs -> ngram_decontaminate, the order BENCH.md
+    # recommends (each stage shrinks the data the next one shuffles).
+    # One hash-verified composition proves the tiers share column/
+    # tokenization semantics without drift. Footers are planted after
+    # cleaning (identically in both engines) so paragraph dedup has
+    # real cross-document work on the single-line testdata.
+    def corpus_curate_full(s, d):
+        from recipys_spark.operators.corpus import (
+            clean_corpus,
+            dedup_paragraphs,
+            ngram_decontaminate,
+        )
+
+        docs = _t(s, d, "documents").repartition(32)
+        cleaned = clean_corpus(
+            docs,
+            min_tokens=5,
+            min_quality=0.2,
+            bands=4,
+            threshold=0.8,
+            hash_family="md5",
+            connected=False,
+        )
+        planted = cleaned.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit("\nshared footer for "),
+                F.col("source"),
+                F.lit("\nunique line "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        para = dedup_paragraphs(planted)
+        bench = _t(s, d, "documents").where(F.col("doc_id") % 17 == 0)
+        return ngram_decontaminate(para, bench, n=5, mode="flag")
+
+    q["corpus_curate_full"] = corpus_curate_full
+
     # -- rolling-hash document fingerprinting (winnowing, MOSS): verbatim
     # substring overlap, the contamination-detection tier MinHash can't see
     def winnow_fp(s, d):
@@ -1114,6 +1154,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["multimodal_jpeg_decode"] = media_jpeg_decode
+
+    # REAL video tier: AVI/MJPEG container (pure-stdlib RIFF parse,
+    # operators/video.py) — every frame decoded by the in-house T.81
+    # codec, one row per frame with its container-clock timestamp →
+    # rows-only (no video codec in DuckDB); pytest pins the container
+    # physics and per-frame JPEG parity (tests/test_video_codec.py)
+    def media_video_decode(s, d):
+        from recipys_spark.operators.video import (
+            extract_frame_features,
+            synthetic_avis,
+        )
+
+        return extract_frame_features(synthetic_avis(s, n=50, size=16)).select(
+            "media_id",
+            "frame_idx",
+            "frame_ms",
+            F.round(F.element_at("features", 1), 6).alias("f0"),
+        )
+
+    q["multimodal_video_decode"] = media_video_decode
 
     # real BPE (Sennrich merges trained distributed-then-driver, greedy
     # rank apply in an Arrow pandas_udf) → rows-only: the merge loop is
@@ -1704,8 +1764,8 @@ def oracle_sql() -> dict[str, str]:
     # end-to-end corpus cleaning: annotate+filter -> exact dedup (min-id
     # per fingerprint) -> md5-family MinHash near-dedup (one-hop dup
     # labels = distinct id_b of verified star edges) -> anti-join
-    o["corpus_clean"] = (
-        "WITH ann AS (SELECT doc_id, text, "
+    _clean_ctes = (
+        "ann AS (SELECT doc_id, source, text, "
         f"{TX.SQL_TOKEN_COUNT.format(c='text')} AS n_tokens, "
         f"{TX.sql_quality_score('text')} AS quality, "
         f"{TX.sql_lang_guess('text')} AS lang_id FROM documents), "
@@ -1730,9 +1790,52 @@ def oracle_sql() -> dict[str, str]:
         "AS jaccard "
         "FROM cand c JOIN docs da ON da.doc_id = c.id_a "
         "JOIN docs db ON db.doc_id = c.id_b), "
-        "dups AS (SELECT DISTINCT id_b FROM edges WHERE jaccard >= 0.8) "
+        "dups AS (SELECT DISTINCT id_b FROM edges WHERE jaccard >= 0.8)"
+    )
+    o["corpus_clean"] = (
+        f"WITH {_clean_ctes} "
         "SELECT e.doc_id, e.n_tokens, e.quality, e.lang_id FROM exact e "
         "ANTI JOIN dups d ON e.doc_id = d.id_b"
+    )
+    # full curation chain: the clean-corpus CTEs, then planted-footer
+    # paragraph dedup over the survivors, then 5-gram decontamination
+    # against the doc_id % 17 eval set — the same stage order and
+    # expressions the Spark composition runs
+    _toks_of = (
+        r"list_filter(regexp_split_to_array(trim(lower({c})), '\s+'), "
+        "x -> len(x) > 0)"
+    )
+    o["corpus_curate_full"] = (
+        f"WITH {_clean_ctes}, "
+        "surv AS (SELECT e.doc_id, e.source, e.text FROM exact e "
+        "ANTI JOIN dups d ON e.doc_id = d.id_b), "
+        "pl AS (SELECT doc_id, concat(text, '\nshared footer for ', source, "
+        "'\nunique line ', CAST(doc_id AS VARCHAR)) AS text FROM surv), "
+        "p AS (SELECT doc_id, i - 1 AS pos, parts[i] AS para FROM "
+        "(SELECT doc_id, str_split(text, chr(10)) AS parts FROM pl), "
+        "LATERAL unnest(generate_series(1, len(parts))) t(i)), "
+        "k AS (SELECT doc_id, pos, para, "
+        "CASE WHEN len(trim(para)) >= 1 THEN md5(para) END AS fp FROM p), "
+        "fst AS (SELECT *, row_number() OVER (PARTITION BY fp "
+        "ORDER BY doc_id, pos) AS rn FROM k WHERE fp IS NOT NULL), "
+        "kept AS (SELECT doc_id, pos, para, 1 AS has FROM fst WHERE rn = 1 "
+        "UNION ALL SELECT doc_id, pos, para, 0 AS has FROM k WHERE fp IS NULL), "
+        "par AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text "
+        "FROM kept GROUP BY doc_id HAVING max(has) = 1), "
+        f"tokc AS (SELECT doc_id, {_toks_of.format(c='text')} AS t FROM par), "
+        "gramsc AS (SELECT doc_id, md5(array_to_string(t[i : i + 4], ' ')) AS fp "
+        "FROM tokc, LATERAL unnest(generate_series(1, len(t) - 4)) u(i) "
+        "WHERE len(t) >= 5), "
+        f"tokb AS (SELECT doc_id, {_toks_of.format(c='text')} AS t "
+        "FROM documents WHERE doc_id % 17 = 0), "
+        "gramsb AS (SELECT md5(array_to_string(t[i : i + 4], ' ')) AS fp "
+        "FROM tokb, LATERAL unnest(generate_series(1, len(t) - 4)) u(i) "
+        "WHERE len(t) >= 5), "
+        "bench AS (SELECT DISTINCT fp FROM gramsb), "
+        "hits AS (SELECT DISTINCT g.doc_id FROM gramsc g "
+        "JOIN bench b USING (fp)) "
+        "SELECT pr.doc_id, pr.text, (h.doc_id IS NOT NULL) AS contaminated "
+        "FROM par pr LEFT JOIN hits h ON pr.doc_id = h.doc_id"
     )
 
     # hyperplane LSH topk: literal ±1 planes → signature, Hamming-1

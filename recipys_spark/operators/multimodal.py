@@ -22,12 +22,14 @@ Decode tiers:
   numpy/stdlib codec in ``operators/jpeg.py`` (Annex K tables read from
   the file, 4:4:4/4:2:2/4:2:0 sampling, restart markers; progressive
   rejected with a clear error) and a matching fixture encoder.
-- **stubbed**: video only. Those codecs are not in this container;
-  ``codec_decoder`` routes PNG/WAV/JPEG to the real tiers and raises
-  NotImplementedError with wiring instructions for video, and
+- **real (video)**: AVI/MJPEG via ``operators/video.py`` — the RIFF
+  container parsed in pure stdlib, every frame decoded by the in-house
+  T.81 JPEG codec; per-frame features via ``extract_frame_features``.
+  Inter-frame codecs (H.264 …) stay out of scope: ``codec_decoder``
+  raises NotImplementedError naming the handler, and
   ``deterministic_fake_decoder`` produces seeded features from the
   payload hash so the plumbing — schema, partitioning, UDF signature,
-  batch shape — stays real and tested for that kind too.
+  batch shape — stays real and tested for any undecodable payload.
 """
 
 from __future__ import annotations
@@ -102,19 +104,27 @@ def deterministic_fake_decoder(payload: bytes) -> np.ndarray:
 
 
 def codec_decoder(payload: bytes) -> np.ndarray:
-    """Format decode dispatch by magic bytes: PNG, WAV (RIFF PCM) and
-    baseline JPEG are decoded for real (pure numpy/stdlib, below and in
-    operators/jpeg.py); video still needs external codec libraries not
-    present in this container."""
+    """Format decode dispatch by magic bytes: PNG, WAV (RIFF/WAVE PCM),
+    baseline JPEG and AVI/MJPEG video are decoded for real (pure
+    numpy/stdlib — operators/jpeg.py + operators/video.py); inter-frame
+    video codecs still need external libraries not in this container.
+
+    The two RIFF formats are disambiguated by form type (bytes 8:12:
+    ``WAVE`` vs ``AVI ``) — the first four bytes alone are ambiguous."""
     if payload and payload[:8] == PNG_MAGIC:
         return png_decoder(payload)
-    if payload and payload[:4] == WAV_MAGIC:
+    if payload and payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
         return wav_decoder(payload)
+    if payload and payload[:4] == WAV_MAGIC and payload[8:12] == b"AVI ":
+        from recipys_spark.operators.video import video_decoder
+
+        return video_decoder(payload)
     if payload and payload[:2] == JPEG_MAGIC_BYTES:
         return jpeg_decoder(payload)
     raise NotImplementedError(
-        "video decode needs codec libraries not present in this "
-        "container; wire torchvision/PyAV here and keep the same signature."
+        "payload is none of PNG/WAVE/AVI-MJPG/JPEG; inter-frame video "
+        "codecs need libraries not present in this container — wire "
+        "torchvision/PyAV here and keep the same signature."
     )
 
 

@@ -1,10 +1,15 @@
 """Generic sklearn escape hatch (reference recipys/step.py:366–474).
 
 ``StepSklearn`` wraps any sklearn transformer: fit on driver-collected
-data (the reference fits on the *whole* table ungrouped, step.py:391 —
-at scale pass ``fit_sample_rows`` to fit on a deterministic sample
-instead), broadcast the fitted object, transform executor-side via one
+data, broadcast the fitted object, transform executor-side via one
 Arrow-batched ``mapInPandas`` (no per-row Python).
+
+The fit collect is BOUNDED by default: ``fit_sample_rows`` caps the
+driver-side frame at 1M rows via a deterministic content-hash top-k
+(a distributed TakeOrdered — same rows at any partitioning), because
+the reference's fit-on-the-whole-table semantics (step.py:391) would
+OOM the driver at 10^12-row scale. Pass ``fit_sample_rows=None`` to
+knowingly reproduce the unbounded reference behavior (warns).
 
 sklearn is NOT a dependency of this engine: the native steps in
 scale.py / encode.py cover the transformers the reference tests use.
@@ -44,7 +49,7 @@ class StepSklearn(Step):
         columnwise: bool = False,
         in_place: bool = True,
         role: str = "predictor",
-        fit_sample_rows: Optional[int] = None,
+        fit_sample_rows: Optional[int] = 1_000_000,
     ) -> None:
         if not (
             hasattr(sklearn_transformer, "fit")
@@ -68,22 +73,37 @@ class StepSklearn(Step):
         self.fitted = None  # transformer or dict[col, transformer]
         self.desc = f"Use sklearn transformer {type(sklearn_transformer).__name__}"
 
-    def do_fit(self, ingredients: Ingredients) -> None:
-        df = ingredients.df.select(*self.columns)
-        if self.fit_sample_rows is not None:
-            # Deterministic sample: `limit` on a distributed frame
-            # depends on partition order, which would break the
-            # prep≡bake / refit determinism rule. Top-k by content hash
-            # is a distributed TakeOrdered — same rows for ANY
-            # partitioning of the same data.
-            h = F.xxhash64(*[F.col(c) for c in self.columns])
-            df = (
-                df.withColumn("__h", h)
-                .orderBy("__h")
-                .limit(self.fit_sample_rows)
-                .drop("__h")
+    def _fit_frame(self, df):
+        """The bounded fit-time frame. Separated from do_fit so tests
+        can assert the default plan is a distributed TakeOrdered (a
+        bounded collect), never an unbounded full-table toPandas."""
+        if self.fit_sample_rows is None:
+            import warnings
+
+            warnings.warn(
+                "StepSklearn(fit_sample_rows=None) collects the ENTIRE "
+                "table to the driver for the sklearn fit — the "
+                "reference's semantics, but an OOM at cluster scale. "
+                "Set fit_sample_rows to a bounded cap (default 1M) "
+                "unless the table is known-small.",
+                stacklevel=3,
             )
-        pdf = df.toPandas()
+            return df
+        # Deterministic sample: `limit` on a distributed frame
+        # depends on partition order, which would break the
+        # prep≡bake / refit determinism rule. Top-k by content hash
+        # is a distributed TakeOrdered — same rows for ANY
+        # partitioning of the same data.
+        h = F.xxhash64(*[F.col(c) for c in df.columns])
+        return (
+            df.withColumn("__h", h)
+            .orderBy("__h")
+            .limit(self.fit_sample_rows)
+            .drop("__h")
+        )
+
+    def do_fit(self, ingredients: Ingredients) -> None:
+        pdf = self._fit_frame(ingredients.df.select(*self.columns)).toPandas()
         if self.columnwise:
             self.fitted = {}
             for c in self.columns:

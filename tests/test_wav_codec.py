@@ -51,7 +51,7 @@ def test_codec_dispatch_and_stub():
     assert feats.shape == (FEATURE_DIM,)
     with pytest.raises(ValueError):  # JPEG magic → real decoder now
         codec_decoder(b"\xff\xd8\xff\xe0 fake jpeg header")
-    with pytest.raises(NotImplementedError):  # video stays the stub
+    with pytest.raises(NotImplementedError):  # inter-frame codecs stay out of scope
         codec_decoder(b"\x00\x00\x00\x18ftypmp42 video-ish")
 
 
