@@ -679,6 +679,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tokenization semantics without drift. Footers are planted after
     # cleaning (identically in both engines) so paragraph dedup has
     # real cross-document work on the single-line testdata.
+    #
+    # Stage BARRIERS (localCheckpoint, lazy): every downstream stage
+    # references its input more than once (dedup_paragraphs joins its
+    # exploded view back to the first-occurrence aggregate; the flag
+    # join reads the corpus twice) — without a barrier Spark re-executes
+    # the entire upstream MinHash cleaning chain per reference,
+    # multiplying the work ~4-8x (measured 13.6 s vs ~4 s at sf0.1).
+    # On a real cluster the same boundary is a checkpoint/table
+    # materialization — exactly what plans/lineage.py does for recipes.
+    # check_ids=False on the chained stages: doc_id is unique in the
+    # source and every stage only drops rows, so the eager validation
+    # jobs would re-prove an invariant the chain already guarantees.
     def corpus_curate_full(s, d):
         from recipys_spark.operators.corpus import (
             clean_corpus,
@@ -695,7 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=0.8,
             hash_family="md5",
             connected=False,
-        )
+        ).localCheckpoint(eager=False)
         planted = cleaned.select(
             "doc_id",
             F.concat(
@@ -706,9 +718,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("doc_id").cast("string"),
             ).alias("text"),
         )
-        para = dedup_paragraphs(planted)
+        para = dedup_paragraphs(planted, check_ids=False).localCheckpoint(
+            eager=False
+        )
         bench = _t(s, d, "documents").where(F.col("doc_id") % 17 == 0)
-        return ngram_decontaminate(para, bench, n=5, mode="flag")
+        return ngram_decontaminate(
+            para, bench, n=5, mode="flag", check_ids=False
+        )
 
     q["corpus_curate_full"] = corpus_curate_full
 

@@ -80,6 +80,8 @@ HEADLINE = [
     "dataset_split",
     "target_encode",
     "hash_encode",
+    "corpus_curate_full",
+    "multimodal_video_decode",
 ]
 
 # transcript volume for the recipe-bake throughput number. 1M convs
