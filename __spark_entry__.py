@@ -213,6 +213,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["missing_indicator"] = missing_ind
 
+    # -- native ML imputation (operators/mlimpute.py) — closes the two
+    # escape-hatch-only rows of SURVEY §2.1 (reference exercises
+    # KNNImputer/IterativeImputer only via StepSklearn,
+    # tests/test_steps.py:249-267). Features are derived from events
+    # with exact double arithmetic so the oracle sees identical inputs.
+    def impute_knn(s, d):
+        from recipys_spark.operators.mlimpute import knn_impute_join
+
+        # fan the single-file testdata scan: the missing×pool pair build
+        # + per-event top-k otherwise runs in ONE task (the
+        # dedup_paragraphs treatment). Results are partitioning-invariant.
+        ev = _events_with_nulls(s, d).repartition(32).select(
+            "event_id",
+            F.col("value_n").alias("f1"),
+            (F.col("value") * 0.5 + (F.col("user_id") % 10).cast("double")).alias(
+                "f2"
+            ),
+            ((F.col("event_id") % 100).cast("double") / 10.0).alias("f3"),
+        )
+        out = knn_impute_join(
+            ev,
+            ["f1", "f2", "f3"],
+            target_col="f1",
+            id_col="event_id",
+            n_neighbors=5,
+            pool_cap=500,
+        )
+        return out.select("event_id", F.col("f1").alias("value_knn"))
+
+    q["impute_knn"] = impute_knn
+
+    def impute_iter(s, d):
+        from recipys_spark.operators.mlimpute import StepImputeIterative
+
+        ev = _events_with_nulls(s, d).select(
+            "event_id",
+            F.col("value_n").alias("y"),
+            (F.col("value") * 0.5 + (F.col("user_id") % 10).cast("double")).alias(
+                "x"
+            ),
+        )
+        rec = Recipe(ev, predictors=["y", "x"])
+        rec.add_step(StepImputeIterative(sel=all_of(["y", "x"]), max_iter=2))
+        return rec.prep().select("event_id", F.col("y").alias("value_mice"))
+
+    q["impute_iterative"] = impute_iter
+
     # -- lag/lead + rolling (§2.3 window functions) ---------------------
     def lag_lead(s, d):
         ev = _events_with_nulls(s, d)
@@ -1267,6 +1314,10 @@ _DEFER_TO_BACK = [
     "log1p_transform",
     "ordinal_encode",
     "polynomial_features",
+    # round-5 additions: impute_knn / impute_iterative take two slots;
+    # two more r03+r04 double-green trivia yield theirs
+    "hist_max",
+    "impute_ffill_limit",
 ]
 
 _DRIVER_WINDOW = 50
@@ -1410,6 +1461,81 @@ def oracle_sql() -> dict[str, str]:
     o["missing_indicator"] = (
         f"SELECT event_id, user_id, ts, "
         f"CASE WHEN value_n IS NULL THEN 1 ELSE 0 END AS value_n_missing FROM ({ev})"
+    )
+
+    # -- native ML imputation (operators/mlimpute.py) -------------------
+    # KNN: replay the WHOLE join-tier plan — md5-coin top-500 donor
+    # pool, nan-euclidean dist² with the fixed left-to-right term tree,
+    # (dist², donor-id) row_number top-5, exact-decimal neighbor mean,
+    # column-mean fallback. Every double op mirrors mlimpute._dist2_exprs
+    # / det_mean bit-for-bit.
+    from recipys_spark.functions.deterministic import _dec, _dec2dbl
+
+    _mlfeat = (
+        "SELECT event_id, "
+        "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS f1, "
+        "value * 0.5 + CAST(user_id % 10 AS DOUBLE) AS f2, "
+        "CAST(event_id % 100 AS DOUBLE) / 10.0 AS f3 FROM events"
+    )
+    _knn_term = (
+        "CASE WHEN m.{a} IS NOT NULL AND p.{b} IS NOT NULL "
+        "THEN (m.{a} - p.{b}) * (m.{a} - p.{b}) ELSE 0.0 END"
+    )
+    _knn_pres = "CASE WHEN m.{a} IS NOT NULL AND p.{b} IS NOT NULL THEN 1 ELSE 0 END"
+    _md5_coin = (
+        "CAST(concat('0x', substring(md5(concat(CAST(event_id AS VARCHAR), "
+        "'#42')), 1, 15)) AS BIGINT)"
+    )
+    o["impute_knn"] = (
+        f"WITH ev AS ({_mlfeat}), "
+        "pool AS (SELECT event_id AS did, f1 AS dval, "
+        "f1 AS d1, f2 AS d2c, f3 AS d3 FROM ev WHERE f1 IS NOT NULL "
+        f"ORDER BY {_md5_coin}, event_id LIMIT 500), "
+        "miss AS (SELECT event_id, f1, f2, f3 FROM ev WHERE f1 IS NULL), "
+        "pairs AS (SELECT m.event_id, p.did, p.dval, "
+        f"(0.0 + {_knn_term.format(a='f1', b='d1')} "
+        f"+ {_knn_term.format(a='f2', b='d2c')} "
+        f"+ {_knn_term.format(a='f3', b='d3')}) AS s2, "
+        f"({_knn_pres.format(a='f1', b='d1')} "
+        f"+ {_knn_pres.format(a='f2', b='d2c')} "
+        f"+ {_knn_pres.format(a='f3', b='d3')}) AS npres "
+        "FROM miss m JOIN pool p ON m.event_id <> p.did), "
+        "ranked AS (SELECT event_id, dval, row_number() OVER "
+        "(PARTITION BY event_id "
+        "ORDER BY (3.0 / CAST(npres AS DOUBLE)) * s2, did) AS rn "
+        "FROM pairs WHERE npres > 0), "
+        f"knn AS (SELECT event_id, {sql_det_mean('dval', '')} AS knn "
+        "FROM ranked WHERE rn <= 5 GROUP BY event_id), "
+        f"cm AS (SELECT {sql_det_mean('f1', '')} AS cmean FROM ev) "
+        "SELECT e.event_id, coalesce(e.f1, k.knn, c.cmean) AS value_knn "
+        "FROM ev e LEFT JOIN knn k ON e.event_id = k.event_id CROSS JOIN cm c"
+    )
+    # MICE, single complete regressor → the closed-form OLS path
+    # (mlimpute._ols_closed_form): normal-equation sums in exact decimal,
+    # slope/intercept with the identical double expression tree, applied
+    # to originally-missing cells only. Two sweeps on a complete
+    # regressor yield identical coefficients, so one SQL application
+    # mirrors the replayed chain exactly.
+    _mlfeat2 = (
+        "SELECT event_id, "
+        "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS y, "
+        "value * 0.5 + CAST(user_id % 10 AS DOUBLE) AS x FROM events"
+    )
+    o["impute_iterative"] = (
+        f"WITH ev AS ({_mlfeat2}), "
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        f"{_dec2dbl('sum(' + _dec('x') + ')')} AS sx, "
+        f"{_dec2dbl('sum(' + _dec('y') + ')')} AS sy, "
+        f"{_dec2dbl('sum(' + _dec('x * y') + ')')} AS sxy, "
+        f"{_dec2dbl('sum(' + _dec('x * x') + ')')} AS sxx "
+        "FROM ev WHERE y IS NOT NULL), "
+        "c AS (SELECT "
+        "(sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope, "
+        "sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sx / n) AS b0 "
+        "FROM s) "
+        "SELECT e.event_id, "
+        "CASE WHEN e.y IS NULL THEN c.b0 + c.slope * e.x ELSE e.y END "
+        "AS value_mice FROM ev e CROSS JOIN c"
     )
 
     o["lag_lead"] = (

@@ -44,6 +44,8 @@ HEADLINE = [
     "impute_ffill",
     "impute_ffill_limit",
     "impute_group_mean",
+    "impute_knn",
+    "impute_iterative",
     "lag_lead",
     "sessionize",
     "resample_2h_agg",

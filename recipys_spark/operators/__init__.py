@@ -40,6 +40,11 @@ from recipys_spark.operators.mathtrans import (
     StepPowerTransform,
     StepSpline,
 )
+from recipys_spark.operators.mlimpute import (
+    StepImputeIterative,
+    StepImputeKNN,
+    knn_impute_join,
+)
 from recipys_spark.operators.sklearn_compat import StepSklearn
 
 # LLM-data-pipeline tier (table-level transforms)
@@ -107,7 +112,10 @@ __all__ = [
     "StepImputeFastForwardFill",
     "StepImputeFastZeroFill",
     "StepImputeFill",
+    "StepImputeIterative",
+    "StepImputeKNN",
     "StepImputeModel",
+    "knn_impute_join",
     "StepKBinsDiscretize",
     "StepLabelBinarize",
     "StepLabelEncode",

@@ -1,0 +1,570 @@
+"""Model-based imputation: native KNN and iterative (MICE) imputers.
+
+The reference covers these only through the sklearn escape hatch
+(reference recipys/step.py:366-474 + tests/test_steps.py:249-267 use
+``StepSklearn(KNNImputer())`` / ``StepSklearn(IterativeImputer())``,
+which fit driver-side on collected data). These are the NATIVE,
+Spark-first equivalents — fitted state is bounded, the transform is
+distributed, and both are deterministic at any partitioning/cluster
+size (the engine's determinism rule).
+
+**StepImputeKNN** — sklearn ``KNNImputer`` semantics (nan-euclidean
+distance, k nearest donors, uniform/distance weights, column-mean
+fallback when no donor overlaps):
+
+- fit: a BOUNDED donor pool (deterministic content-hash top-k sample,
+  default 10k rows — sklearn stores the entire training matrix, which
+  at 10^12 rows is impossible; KNN-imputation quality saturates with
+  pool size, and parity with sklearn is exact whenever the pool covers
+  the table) plus exact-decimal column means for the fallback.
+- transform: one Arrow-batched ``mapInPandas`` — each batch computes
+  nan-euclidean distances to the broadcast pool with chunked,
+  feature-sequential numpy ops (no per-row Python). Embarrassingly
+  parallel, zero shuffle.
+- ``knn_impute_join`` is the same algorithm as a PURE-JVM broadcast
+  join + window plan (pool as a DataFrame — no driver collect at all),
+  used by the hash-verified driver oracle; a pytest pins that the two
+  tiers agree bit-for-bit (the distance accumulation uses the same
+  left-to-right tree and the neighbor mean the same exact-decimal sum).
+
+Determinism/tie-break deviation from sklearn: neighbors are the k
+smallest by ``(dist², donor_id)`` — a total order. sklearn's
+``np.argpartition`` tie-break is unspecified; for continuous features
+ties have measure zero, so fitted values agree.
+
+**StepImputeIterative** — MICE (sklearn ``IterativeImputer`` shape):
+round-robin regress each missing column on the others, update, repeat.
+
+- fit: per (sweep, target) one aggregation job builds the normal
+  equations X'X / X'y from EXACT DECIMAL sums (order-independent →
+  identical coefficients at any parallelism); the tiny (d+1)x(d+1)
+  solve happens driver-side (closed form for one regressor — the
+  exact-SQL-mirrorable path — numpy for more). Fitted state = the
+  initial means + the coefficient sequence: O(sweeps * d²) numbers.
+- transform: REPLAYS the stored coefficients as a pure expression
+  chain — bake runs zero jobs and never re-aggregates (the
+  prep/bake leakage rule).
+
+Deviation from sklearn: the default estimator here is OLS/ridge via
+normal equations, not ``BayesianRidge`` (whose evidence-maximization
+loop adds nothing for imputation and has no closed SQL form); the
+escape hatch ``StepSklearn(IterativeImputer())`` remains for exact
+sklearn behavior on driver-sized data.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from recipys_spark.ingredients import Ingredients
+from recipys_spark.operators.base import Step
+from recipys_spark.selector import Selector, all_predictors
+
+
+# ---------------------------------------------------------------------------
+# shared arithmetic: ONE definition of the distance/mean trees so the
+# Arrow tier, the JVM join tier, and the DuckDB oracle cannot drift
+# ---------------------------------------------------------------------------
+
+
+def _dist2_exprs(left_cols, right_cols):
+    """nan-euclidean squared distance as a JVM expression with a FIXED
+    left-to-right accumulation tree: dist² = (d / n_present) * Σ_j
+    present_j * (x_j - y_j)². Returns (dist2, n_present) columns;
+    n_present == 0 ⇒ caller must exclude the pair (sklearn: distance
+    undefined without any mutually-present coordinate)."""
+    d = len(left_cols)
+    d2 = F.lit(0.0)
+    npres = F.lit(0)
+    for lc, rc in zip(left_cols, right_cols):
+        both = lc.isNotNull() & rc.isNotNull()
+        diff = lc.cast("double") - rc.cast("double")
+        d2 = d2 + F.when(both, diff * diff).otherwise(F.lit(0.0))
+        npres = npres + both.cast("int")
+    dist2 = (F.lit(float(d)) / npres.cast("double")) * d2
+    return dist2, npres
+
+
+def _dist2_numpy(X: np.ndarray, P: np.ndarray) -> np.ndarray:
+    """The numpy mirror of ``_dist2_exprs``: identical feature-sequential
+    accumulation order (element-wise ops, never BLAS — dgemm's blocked
+    summation would differ in the last ulps from the JVM tree), so the
+    Arrow tier and the join tier produce bit-identical distances."""
+    n, d = X.shape
+    m = P.shape[0]
+    d2 = np.zeros((n, m))
+    npres = np.zeros((n, m))
+    for j in range(d):
+        xj = X[:, j][:, None]
+        pj = P[:, j][None, :]
+        mask = ~np.isnan(xj) & ~np.isnan(pj)
+        diff = np.where(mask, xj - pj, 0.0)
+        d2 = d2 + diff * diff
+        npres = npres + mask
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = (float(d) / npres) * d2
+    out[npres == 0] = np.inf
+    return out
+
+
+def _exact_mean(values) -> float:
+    """Exact-decimal mean of a small value list: Decimal addition is
+    associative, the final division runs in double on exact operands —
+    the Python mirror of functions/deterministic.det_mean (and of the
+    oracle's sum(DECIMAL)→VARCHAR→DOUBLE / n), so all three tiers
+    agree bit-for-bit."""
+    from decimal import Decimal
+
+    total = Decimal(0)
+    for v in values:
+        total += Decimal(repr(float(v)))
+    return float(total) / len(values)
+
+
+# ---------------------------------------------------------------------------
+# pure-JVM tier: broadcast-join KNN imputation (the oracle-mirrorable plan)
+# ---------------------------------------------------------------------------
+
+
+def knn_impute_join(
+    df: DataFrame,
+    feature_cols,
+    target_col: str,
+    id_col: str,
+    n_neighbors: int = 5,
+    pool_cap: Optional[int] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """KNN-impute ``target_col`` as a pure DataFrame plan — no UDF, no
+    driver collect: donors (rows with the target present, optionally
+    capped to ``pool_cap`` by the portable md5 coin — the SAME
+    deterministic top-k at any partitioning) join each missing row,
+    ``row_number`` over (dist², donor id) keeps the k nearest, and the
+    imputed value is their exact-decimal mean. AQE broadcasts the
+    bounded pool side; per-row cost is O(pool) — the brute tier. At
+    corpus scale keep ``pool_cap`` bounded (the Arrow step's default)
+    or pre-bucket candidates (operators/similarity.py LSH) before the
+    join.
+
+    Returns the full frame with ``target_col`` filled (column-mean
+    fallback when a missing row has no overlapping donor)."""
+    feats = list(feature_cols)
+    if target_col not in feats:
+        raise ValueError("target_col must be one of feature_cols")
+    from recipys_spark.functions.deterministic import det_mean
+    from recipys_spark.operators.packing import md5_long
+
+    donors = df.where(F.col(target_col).isNotNull())
+    if pool_cap is not None:
+        donors = (
+            donors.withColumn("__coin", md5_long(F.col(id_col), seed))
+            .orderBy("__coin", id_col)
+            .limit(int(pool_cap))
+            .drop("__coin")
+        )
+    pool = donors.select(
+        F.col(id_col).alias("__did"),
+        F.col(target_col).cast("double").alias("__dval"),
+        *[F.col(c).alias(f"__d_{c}") for c in feats],
+    )
+    missing = df.where(F.col(target_col).isNull()).select(id_col, *feats)
+    dist2, npres = _dist2_exprs(
+        [F.col(c) for c in feats], [F.col(f"__d_{c}") for c in feats]
+    )
+    from pyspark.sql import Window
+
+    pairs = (
+        missing.join(pool, F.col(id_col) != F.col("__did"), "inner")
+        .select(
+            id_col,
+            "__did",
+            "__dval",
+            dist2.alias("__dist2"),
+            npres.alias("__npres"),
+        )
+        .where(F.col("__npres") > 0)
+    )
+    w = Window.partitionBy(id_col).orderBy("__dist2", "__did")
+    imputed = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_neighbors)
+        .groupBy(id_col)
+        .agg(det_mean(F.col("__dval")).alias("__knn"))
+    )
+    fallback = df.agg(det_mean(F.col(target_col)).alias("__cmean"))
+    return (
+        df.join(imputed, id_col, "left")
+        .crossJoin(F.broadcast(fallback))
+        .select(
+            *[
+                F.coalesce(
+                    F.col(c).cast("double"), F.col("__knn"), F.col("__cmean")
+                ).alias(c)
+                if c == target_col
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow tier: StepImputeKNN
+# ---------------------------------------------------------------------------
+
+
+class StepImputeKNN(Step):
+    """Native sklearn-``KNNImputer``-semantics step (see module
+    docstring). Selected columns are BOTH the distance features and the
+    imputation targets, as in sklearn. Ungrouped (sklearn semantics —
+    for per-group model imputation use ``StepImputeModel``)."""
+
+    _uses_groups = False
+    _uses_sequence = False
+    _row_preserving = True
+
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        n_neighbors: int = 5,
+        weights: str = "uniform",
+        fit_sample_rows: Optional[int] = 10_000,
+        chunk_rows: int = 256,
+    ) -> None:
+        super().__init__(sel if sel is not None else all_predictors())
+        if n_neighbors < 1:
+            raise ValueError("n_neighbors must be >= 1")
+        if weights not in ("uniform", "distance"):
+            raise ValueError("weights must be 'uniform' or 'distance'")
+        self.n_neighbors = n_neighbors
+        self.weights = weights
+        self.fit_sample_rows = fit_sample_rows
+        self.chunk_rows = chunk_rows
+        self.pool: Optional[list] = None  # list[list[float|None]]
+        self.col_means: Optional[dict] = None
+        self.desc = f"Impute with {n_neighbors}-NN (nan-euclidean)"
+
+    def do_fit(self, ingredients: Ingredients) -> None:
+        from recipys_spark.functions.deterministic import det_mean
+
+        df = ingredients.df.select(*self.columns)
+        # drop rows with EVERY feature missing — they can never donate
+        keep = None
+        for c in self.columns:
+            nn = F.col(c).isNotNull()
+            keep = nn if keep is None else (keep | nn)
+        df = df.where(keep)
+        if self.fit_sample_rows is not None:
+            # deterministic content-hash top-k (the StepSklearn fit-cap
+            # pattern): identical pool at any partitioning
+            h = F.xxhash64(*[F.col(c) for c in self.columns])
+            df = (
+                df.withColumn("__h", h)
+                .orderBy("__h", *self.columns)
+                .limit(int(self.fit_sample_rows))
+                .drop("__h")
+            )
+        pdf = df.toPandas()
+        self.pool = [
+            [None if v is None or (isinstance(v, float) and np.isnan(v)) else float(v) for v in row]
+            for row in pdf.itertuples(index=False, name=None)
+        ]
+        means = ingredients.df.agg(
+            *[det_mean(F.col(c)).alias(c) for c in self.columns]
+        ).first()
+        self.col_means = {c: means[c] for c in self.columns}
+
+    def do_transform(self, ingredients: Ingredients):
+        df = ingredients.df
+        cols = list(self.columns)
+        k = self.n_neighbors
+        weights = self.weights
+        chunk = self.chunk_rows
+        P = np.array(
+            [[np.nan if v is None else v for v in row] for row in self.pool],
+            dtype=np.float64,
+        ).reshape(len(self.pool), len(cols))
+        col_means = [self.col_means[c] for c in cols]
+        schema = df.schema
+        out_fields = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" if f.name not in cols
+            else f"`{f.name}` double"
+            for f in schema.fields
+        )
+        idx = {c: i for i, c in enumerate(cols)}
+        names = list(df.columns)
+
+        def impute(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                X = pdf[cols].to_numpy(dtype=np.float64, copy=True)
+                miss_rows = np.where(np.isnan(X).any(axis=1))[0]
+                for lo in range(0, len(miss_rows), chunk):
+                    rows = miss_rows[lo : lo + chunk]
+                    D2 = _dist2_numpy(X[rows], P)
+                    for ri, r in zip(range(len(rows)), rows):
+                        for c in cols:
+                            j = idx[c]
+                            if not np.isnan(X[r, j]):
+                                continue
+                            dvals = P[:, j]
+                            cand = np.where(
+                                ~np.isnan(dvals) & np.isfinite(D2[ri])
+                            )[0]
+                            if len(cand) == 0:
+                                X[r, j] = (
+                                    np.nan
+                                    if col_means[j] is None
+                                    else col_means[j]
+                                )
+                                continue
+                            order = np.lexsort((cand, D2[ri, cand]))
+                            take = cand[order[:k]]
+                            vals = dvals[take]
+                            if weights == "uniform":
+                                X[r, j] = _exact_mean(vals)
+                            else:
+                                dist = np.sqrt(D2[ri, take])
+                                if np.any(dist == 0.0):
+                                    # sklearn rule: exact matches share
+                                    # the mass equally
+                                    X[r, j] = _exact_mean(vals[dist == 0.0])
+                                else:
+                                    w = 1.0 / dist
+                                    X[r, j] = float(np.sum(w * vals)) / float(
+                                        np.sum(w)
+                                    )
+                # NaN-missing rows untouched above: write back only targets
+                res = pdf.copy()
+                for c in cols:
+                    res[c] = X[:, idx[c]]
+                yield res[names]
+
+        return df.mapInPandas(impute, schema=out_fields)
+
+    def get_state(self) -> dict:
+        return {
+            "columns": self.columns,
+            "pool": self.pool,
+            "col_means": self.col_means,
+            "n_neighbors": self.n_neighbors,
+            "weights": self.weights,
+        }
+
+    def set_state(self, state: dict) -> None:
+        self.columns = state["columns"]
+        self.pool = state["pool"]
+        self.col_means = state["col_means"]
+        self.n_neighbors = state["n_neighbors"]
+        self.weights = state["weights"]
+        self._trained = True
+
+
+# ---------------------------------------------------------------------------
+# StepImputeIterative (MICE)
+# ---------------------------------------------------------------------------
+
+
+def _ols_closed_form(sx, sy, sxy, sxx, n):
+    """Single-regressor OLS with the FIXED expression tree mirrored by
+    the oracle SQL: slope = (sxy - sx*sy/n) / (sxx - sx*sx/n),
+    intercept = sy/n - slope*(sx/n). All inputs are floats converted
+    from exact decimal sums, so both engines see identical operands."""
+    denom = sxx - sx * sx / n
+    if denom == 0.0:
+        return None, None
+    slope = (sxy - sx * sy / n) / denom
+    intercept = sy / n - slope * (sx / n)
+    return slope, intercept
+
+
+class StepImputeIterative(Step):
+    """Native MICE imputer (see module docstring): fit learns the
+    per-(sweep, target) regression coefficients from exact-decimal
+    normal equations; transform replays them as a pure expression
+    chain (zero jobs at bake)."""
+
+    _uses_groups = False
+    _uses_sequence = False
+    _row_preserving = True
+
+    def __init__(
+        self,
+        sel: Optional[Selector] = None,
+        max_iter: int = 3,
+        alpha: float = 0.0,
+    ) -> None:
+        super().__init__(sel if sel is not None else all_predictors())
+        if max_iter < 1:
+            raise ValueError("max_iter must be >= 1")
+        if alpha < 0:
+            raise ValueError("alpha must be >= 0")
+        self.max_iter = max_iter
+        self.alpha = alpha
+        self.init_means: Optional[dict] = None
+        self.coefs: Optional[list] = None  # [(target, [regressors], b0, [betas])]
+        self.desc = "Impute iteratively (MICE, ridge/OLS)"
+
+    # -- shared expression builders -------------------------------------
+
+    def _mask_name(self, c: str) -> str:
+        return f"__miss_{c}"
+
+    def _init_frame(self, df: DataFrame, cols) -> DataFrame:
+        """Append original-missingness masks and mean-fill the targets
+        (the MICE initialization). Masks let later sweeps overwrite
+        ONLY originally-missing cells."""
+        sel = list(df.columns)
+        out = df.select(
+            *sel,
+            *[F.col(c).isNull().alias(self._mask_name(c)) for c in cols],
+        )
+        exprs = {}
+        for c in cols:
+            m = self.init_means[c]
+            filled = F.coalesce(
+                F.col(c).cast("double"),
+                F.lit(m).cast("double") if m is not None else F.lit(None).cast("double"),
+            )
+            exprs[c] = filled.alias(c)
+        return out.select(
+            *[exprs[c] if c in exprs else F.col(c) for c in out.columns]
+        )
+
+    def _apply_coef(self, df: DataFrame, target, regressors, b0, betas):
+        pred = F.lit(b0)
+        for r, b in zip(regressors, betas):
+            pred = pred + F.lit(b) * F.col(r).cast("double")
+        return df.select(
+            *[
+                F.when(F.col(self._mask_name(c)), pred)
+                .otherwise(F.col(c))
+                .alias(c)
+                if c == target
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    # -- lifecycle ------------------------------------------------------
+
+    def do_fit(self, ingredients: Ingredients) -> None:
+        from recipys_spark.functions.deterministic import det_mean
+
+        cols = list(self.columns)
+        df = ingredients.df
+        stats = df.agg(
+            *[det_mean(F.col(c)).alias(f"m_{c}") for c in cols],
+            *[F.count(F.col(c)).alias(f"n_{c}") for c in cols],
+            F.count(F.lit(1)).alias("n_all"),
+        ).first()
+        self.init_means = {c: stats[f"m_{c}"] for c in cols}
+        n_missing = {c: stats["n_all"] - stats[f"n_{c}"] for c in cols}
+        # sklearn default imputation_order='ascending': fewest missing
+        # first; complete columns are regressors only
+        targets = sorted(
+            (c for c in cols if 0 < n_missing[c] < stats["n_all"]),
+            key=lambda c: (n_missing[c], c),
+        )
+        self.coefs = []
+        if not targets:
+            return
+        current = self._init_frame(df, cols)
+        for _sweep in range(self.max_iter):
+            for t in targets:
+                others = [c for c in cols if c != t]
+                b0, betas = self._fit_one(current, t, others)
+                if b0 is None:
+                    continue
+                self.coefs.append((t, others, b0, betas))
+                current = self._apply_coef(current, t, others, b0, betas)
+                # barrier: each normal-equation agg otherwise re-executes
+                # the whole growing projection chain from the scan
+                current = current.localCheckpoint(eager=False)
+
+    def _fit_one(self, current: DataFrame, target: str, others):
+        """Normal equations for target ~ [1, others] over rows where the
+        ORIGINAL target is present, from exact decimal sums (products
+        formed in double per row, accumulated exactly → deterministic
+        at any parallelism). Driver-side solve: closed form for one
+        regressor (the oracle-mirrorable tree), numpy for more."""
+        DEC = "decimal(38,18)"
+        rows = current.where(~F.col(self._mask_name(target)))
+        y = F.col(target).cast("double")
+        xs = [F.col(c).cast("double") for c in others]
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y.cast(DEC)).alias("sy"),
+        ]
+        for i, x in enumerate(xs):
+            aggs.append(F.sum(x.cast(DEC)).alias(f"sx{i}"))
+            aggs.append(F.sum((x * y).cast(DEC)).alias(f"sxy{i}"))
+            for j in range(i, len(xs)):
+                aggs.append(
+                    F.sum((x * xs[j]).cast(DEC)).alias(f"sxx{i}_{j}")
+                )
+        s = rows.agg(*aggs).first()
+        n = float(s["n"])
+        if n == 0:
+            return None, None
+        if len(others) == 1:
+            slope, b0 = _ols_closed_form(
+                float(s["sx0"]),
+                float(s["sy"]),
+                float(s["sxy0"]),
+                float(s["sxx0_0"]),
+                n,
+            )
+            if slope is None:
+                return None, None
+            return b0, [slope]
+        d = len(others)
+        A = np.zeros((d + 1, d + 1))
+        b = np.zeros(d + 1)
+        A[0, 0] = n
+        b[0] = float(s["sy"])
+        for i in range(d):
+            A[0, i + 1] = A[i + 1, 0] = float(s[f"sx{i}"])
+            b[i + 1] = float(s[f"sxy{i}"])
+            for j in range(i, d):
+                A[i + 1, j + 1] = A[j + 1, i + 1] = float(s[f"sxx{i}_{j}"])
+        if self.alpha:
+            A[1:, 1:] += self.alpha * np.eye(d)
+        try:
+            beta = np.linalg.solve(A, b)
+        except np.linalg.LinAlgError:
+            return None, None
+        return float(beta[0]), [float(v) for v in beta[1:]]
+
+    def do_transform(self, ingredients: Ingredients):
+        cols = list(self.columns)
+        base = list(ingredients.df.columns)
+        current = self._init_frame(ingredients.df, cols)
+        for t, others, b0, betas in self.coefs or []:
+            current = self._apply_coef(current, t, others, b0, betas)
+        return current.select(*base)
+
+    def get_state(self) -> dict:
+        return {
+            "columns": self.columns,
+            "init_means": self.init_means,
+            "coefs": [list(c) for c in (self.coefs or [])],
+            "max_iter": self.max_iter,
+            "alpha": self.alpha,
+        }
+
+    def set_state(self, state: dict) -> None:
+        self.columns = state["columns"]
+        self.init_means = state["init_means"]
+        self.coefs = [
+            (t, list(r), b0, list(bs)) for t, r, b0, bs in state["coefs"]
+        ]
+        self.max_iter = state["max_iter"]
+        self.alpha = state["alpha"]
+        self._trained = True
