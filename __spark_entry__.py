@@ -260,6 +260,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["impute_iterative"] = impute_iter
 
+    # -- point-in-time context assembly (operators/transcripts.py): the
+    # transcript→training-row op of the north star. Transcript view is
+    # derived from events with exact cross-engine expressions
+    # (conv=user, turn order by ts; 5-token deterministic text).
+    def ctx_assemble(s, d):
+        from pyspark.sql import Window as W
+
+        from recipys_spark.operators.transcripts import assemble_context
+
+        # no explicit repartition, and the conversation key keeps its
+        # scan name (user_id) through every window so ALL of them reuse
+        # ONE hash Exchange — renaming first would hide the equivalence
+        # from Catalyst and buy a second shuffle
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        tr = (
+            _t(s, d, "events")
+            .select(
+                "user_id",
+                (F.row_number().over(w) - 1).cast("long").alias("turn_idx"),
+                F.concat(
+                    F.col("event_type"),
+                    F.lit(" value "),
+                    F.col("value").cast("string"),
+                    F.lit(" step "),
+                    (F.col("event_id") % 97).cast("string"),
+                ).alias("text"),
+            )
+        )
+        return assemble_context(
+            tr, budget=12, max_turns=5, conv_col="user_id"
+        ).select(
+            F.col("user_id").alias("conv_id"),
+            "turn_idx",
+            "context",
+            "context_n_turns",
+            "context_n_tokens",
+        )
+
+    q["assemble_context"] = ctx_assemble
+
     # -- lag/lead + rolling (§2.3 window functions) ---------------------
     def lag_lead(s, d):
         ev = _events_with_nulls(s, d)
@@ -1314,10 +1354,12 @@ _DEFER_TO_BACK = [
     "log1p_transform",
     "ordinal_encode",
     "polynomial_features",
-    # round-5 additions: impute_knn / impute_iterative take two slots;
-    # two more r03+r04 double-green trivia yield theirs
+    # round-5 additions: impute_knn / impute_iterative /
+    # assemble_context take three slots; three more r03+r04
+    # double-green trivia yield theirs
     "hist_max",
     "impute_ffill_limit",
+    "sessionize",
 ]
 
 _DRIVER_WINDOW = 50
@@ -1536,6 +1578,39 @@ def oracle_sql() -> dict[str, str]:
         "SELECT e.event_id, "
         "CASE WHEN e.y IS NULL THEN c.b0 + c.slope * e.x ELSE e.y END "
         "AS value_mice FROM ev e CROSS JOIN c"
+    )
+
+    # -- point-in-time context assembly: the join formulation of the
+    # same retention rule (keep prior turn s of target t iff
+    # cum(t-1) - cum(s-1) <= budget AND t - s <= max_turns; the budget
+    # predicate is monotone in s, so the join set equals the Spark
+    # plan's filtered most-recent suffix), string_agg ordered by turn.
+    _ctx_tok = "CAST(" + TX.SQL_TOKEN_COUNT.format(c="text") + " AS BIGINT)"
+    o["assemble_context"] = (
+        "WITH tr AS (SELECT user_id AS conv_id, "
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "- 1 AS BIGINT) AS turn_idx, "
+        "concat(event_type, ' value ', CAST(value AS VARCHAR), ' step ', "
+        "CAST(event_id % 97 AS VARCHAR)) AS text FROM events), "
+        f"t AS (SELECT conv_id, turn_idx, text, {_ctx_tok} AS tok FROM tr), "
+        "c AS (SELECT *, sum(tok) OVER (PARTITION BY conv_id ORDER BY "
+        "turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+        "FROM t), "
+        "pairs AS (SELECT tgt.conv_id, tgt.turn_idx, src.turn_idx AS sidx, "
+        "src.text AS stext, src.tok AS stok FROM c tgt JOIN c src "
+        "ON tgt.conv_id = src.conv_id AND src.turn_idx < tgt.turn_idx "
+        "AND tgt.turn_idx - src.turn_idx <= 5 "
+        "AND (tgt.cum - tgt.tok) - (src.cum - src.tok) <= 12), "
+        "agg AS (SELECT conv_id, turn_idx, "
+        "string_agg(stext, chr(10) ORDER BY sidx) AS context, "
+        "CAST(count(*) AS BIGINT) AS n_turns, "
+        "CAST(sum(stok) AS BIGINT) AS n_tok "
+        "FROM pairs GROUP BY conv_id, turn_idx) "
+        "SELECT c.conv_id, c.turn_idx, coalesce(a.context, '') AS context, "
+        "coalesce(a.n_turns, 0) AS context_n_turns, "
+        "coalesce(a.n_tok, 0) AS context_n_tokens "
+        "FROM c LEFT JOIN agg a ON c.conv_id = a.conv_id "
+        "AND c.turn_idx = a.turn_idx"
     )
 
     o["lag_lead"] = (

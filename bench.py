@@ -46,6 +46,7 @@ HEADLINE = [
     "impute_group_mean",
     "impute_knn",
     "impute_iterative",
+    "assemble_context",
     "lag_lead",
     "sessionize",
     "resample_2h_agg",

@@ -95,6 +95,11 @@ from recipys_spark.operators.textstats import (
     unigram_logprob_scores,
 )
 from recipys_spark.operators.timeseries import time_rollup
+from recipys_spark.operators.transcripts import (
+    StepAssembleContext,
+    assemble_context,
+    conversation_text,
+)
 from recipys_spark.operators.warc import (
     html_to_text,
     parse_warc_records,
@@ -105,6 +110,7 @@ __all__ = [
     "Accumulator",
     "Step",
     "StepAsofJoin",
+    "StepAssembleContext",
     "StepBinarize",
     "StepFunction",
     "StepHashEncode",
@@ -143,6 +149,8 @@ __all__ = [
     "StepTextFeatures",
     "annotate_filter",
     "asof_join",
+    "assemble_context",
+    "conversation_text",
     "clean_corpus",
     "dedup_paragraphs",
     "cosine_topk",

@@ -1,0 +1,211 @@
+"""Transcript-to-training-row assembly: point-in-time context windows.
+
+The north-star workload turns an Iceberg table of conversation turns
+(conv_id, turn_idx, role, text, tool, ts) into per-turn training rows.
+The core op an SFT/RL data pipeline needs on top of the generic window
+features (StepHistorical, StepLag, StepSessionize) is CONTEXT
+ASSEMBLY: for every turn, the concatenation of the turns that precede
+it — most-recent-first retention under a token budget — with zero
+temporal leakage (a row's context may never touch turn_idx' >= its
+own; the prep/bake rule of reference recipys/recipe.py:231-263 applied
+to text).
+
+``assemble_context`` is pure JVM: one running token sum + one bounded
+``collect_list`` window per conversation, then higher-order array
+functions (filter / transform / aggregate) — no UDF, no join, ONE
+shuffle on conv_id shared by both windows. The retention predicate
+"suffix token total <= budget" is monotone in turn order, so the kept
+set is always a contiguous most-recent suffix, computed per row from
+the running sums without pairwise work.
+
+Scale notes (100 TB / 10^12 turns):
+
+- the collect_list frame is ROWS-bounded by ``max_turns`` (default
+  64), so per-row window state is O(max_turns × turn bytes) even for
+  the 100×-median skew conversations the engine's salting tier exists
+  for — an UNBOUNDED preceding text frame would hold every prior turn
+  of a monster conversation in one window buffer; pass
+  ``max_turns=None`` only when conversation length is known-bounded.
+- both windows share one partitioning (conv_id) and one sort
+  (turn order): Catalyst fuses them into a single WindowExec behind a
+  single Exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from recipys_spark.functions.text import token_count
+from recipys_spark.ingredients import Ingredients
+from recipys_spark.operators.base import Step
+from recipys_spark.selector import Selector
+
+
+def assemble_context(
+    df: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    order_cols=("turn_idx",),
+    text_col: str = "text",
+    sep: str = "\n",
+    max_turns: Optional[int] = 64,
+    out_col: str = "context",
+) -> DataFrame:
+    """Append per-turn context columns, point-in-time correct:
+
+    - ``{out_col}``: the texts of the kept prior turns, oldest→newest,
+      joined with ``sep`` ('' when no prior turn fits);
+    - ``{out_col}_n_turns`` / ``{out_col}_n_tokens``: how many prior
+      turns / whitespace tokens the context holds.
+
+    A prior turn s of target turn t is kept iff the token total of
+    turns s..t-1 is <= ``budget`` (and t-s <= ``max_turns``): the
+    most-recent contiguous suffix that fits. Tokens are the engine's
+    whitespace tokens (functions/text.token_count) — swap in
+    bpe_ish_token_count upstream by pre-computing a column and passing
+    it via ``text_col``'s frame if a subword budget is needed.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    if max_turns is not None and max_turns < 1:
+        raise ValueError("max_turns must be >= 1 (or None for unbounded)")
+    order = list(order_cols)
+    tok = "__ctx_tok"
+    cum = "__ctx_cum"
+    run = (
+        Window.partitionBy(conv_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lo = Window.unboundedPreceding if max_turns is None else -int(max_turns)
+    prior = Window.partitionBy(conv_col).orderBy(*order).rowsBetween(lo, -1)
+    base = df.withColumn(tok, token_count(F.col(text_col)).cast("long"))
+    base = base.withColumn(cum, F.sum(tok).over(run))
+    arr = F.collect_list(F.struct(F.col(cum).alias("c"), F.col(tok).alias("t"), F.col(text_col).alias("x"))).over(prior)
+    prior_cum = F.col(cum) - F.col(tok)  # running total through turn t-1
+    kept = F.filter(arr, lambda s: (prior_cum - (s["c"] - s["t"])) <= F.lit(int(budget)))
+    ctx = F.array_join(F.transform(kept, lambda s: s["x"]), sep)
+    n_turns = F.size(kept).cast("long")
+    n_tokens = F.aggregate(
+        kept, F.lit(0).cast("long"), lambda acc, s: acc + s["t"]
+    )
+    return (
+        base.withColumn(out_col, ctx)
+        .withColumn(f"{out_col}_n_turns", n_turns)
+        .withColumn(f"{out_col}_n_tokens", n_tokens)
+        .drop(tok, cum)
+    )
+
+
+def conversation_text(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols=("turn_idx",),
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Roll a transcript up to one row per conversation:
+    (conv_col, text, n_turns) with turns joined oldest→newest — the
+    conversation-granularity input for the dedup tier (exact_dedup /
+    minhash on whole conversations instead of single turns). One
+    groupBy shuffle; the in-group order is made explicit by sorting the
+    collected (order, text) structs, so the result is partitioning-
+    independent."""
+    order = list(order_cols)
+    pairs = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in order], F.col(text_col).alias("__x")))
+    )
+    return df.groupBy(conv_col).agg(
+        F.array_join(F.transform(pairs, lambda s: s["__x"]), sep).alias(text_col),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
+class StepAssembleContext(Step):
+    """Recipe-step form of :func:`assemble_context`: conv/order come
+    from the recipe's group and sequence roles, the text column from
+    the selector (exactly one). Stateless (no fit) — bake on unseen
+    conversations runs the same expressions; the prior-rows-only frame
+    IS the leakage guarantee."""
+
+    _row_preserving = True
+
+    def __init__(
+        self,
+        sel: Selector,
+        budget: int,
+        sep: str = "\n",
+        max_turns: Optional[int] = 64,
+        out_col: str = "context",
+        role: str = "predictor",
+    ) -> None:
+        super().__init__(sel)
+        if budget < 0:
+            raise ValueError("budget must be >= 0")
+        self.budget = int(budget)
+        self.sep = sep
+        self.max_turns = max_turns
+        self.out_col = out_col
+        self.role = role
+        # NOT pre-trained: fit() must still run once to resolve the
+        # selector and the group/sequence roles (do_fit itself is a
+        # no-op — there is no fitted state, so bake ≡ prep)
+        self.desc = f"Assemble {budget}-token context from prior turns"
+
+    def new_column_roles(self) -> dict[str, str]:
+        return {
+            self.out_col: self.role,
+            f"{self.out_col}_n_turns": self.role,
+            f"{self.out_col}_n_tokens": self.role,
+        }
+
+    def do_fit(self, ingredients: Ingredients) -> None:  # stateless
+        return None
+
+    def do_transform(self, ingredients: Ingredients):
+        if len(self.columns) != 1:
+            raise ValueError(
+                "StepAssembleContext needs exactly one selected text "
+                f"column, got {self.columns}"
+            )
+        if not self.group_columns:
+            raise ValueError(
+                "StepAssembleContext requires a group role (conv_id)"
+            )
+        if not self.sequence_columns:
+            raise ValueError(
+                "StepAssembleContext requires a sequence role (turn order)"
+            )
+        conv = self.group_columns
+        if len(conv) != 1:
+            raise ValueError("StepAssembleContext supports one group column")
+        return assemble_context(
+            ingredients.df,
+            budget=self.budget,
+            conv_col=conv[0],
+            order_cols=self.sequence_columns,
+            text_col=self.columns[0],
+            sep=self.sep,
+            max_turns=self.max_turns,
+            out_col=self.out_col,
+        )
+
+    def get_state(self) -> dict:
+        return {
+            "columns": self.columns,
+            "budget": self.budget,
+            "sep": self.sep,
+            "max_turns": self.max_turns,
+            "out_col": self.out_col,
+        }
+
+    def set_state(self, state: dict) -> None:
+        self.columns = state["columns"]
+        self.budget = state["budget"]
+        self.sep = state["sep"]
+        self.max_turns = state["max_turns"]
+        self.out_col = state["out_col"]
+        self._trained = True

@@ -1,0 +1,191 @@
+"""Point-in-time context assembly (operators/transcripts.py).
+
+The oracle is a direct per-row Python transcription of the contract:
+for turn t keep the most recent prior turns whose suffix token total
+stays within the budget (and within max_turns), join oldest→newest.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from recipys_spark.operators.transcripts import (
+    StepAssembleContext,
+    assemble_context,
+    conversation_text,
+)
+from recipys_spark.recipe import Recipe
+from recipys_spark.selector import all_of
+from recipys_spark.sources.io import synthetic_transcripts
+
+
+def _ws_tokens(text: str) -> int:
+    # the engine's token_count: split(trim(lower(x)), '\s+') — '' -> ['']
+    import re
+
+    return len(re.split(r"\s+", text.strip().lower()))
+
+
+def _reference(rows, budget, max_turns):
+    """rows: list of (conv, turn, text) → {(conv, turn): (ctx, n_turns, n_tok)}"""
+    from collections import defaultdict
+
+    by_conv = defaultdict(list)
+    for conv, turn, text in rows:
+        by_conv[conv].append((turn, text))
+    out = {}
+    for conv, turns in by_conv.items():
+        turns.sort()
+        toks = [_ws_tokens(t) for _, t in turns]
+        for i, (turn, _) in enumerate(turns):
+            kept = []
+            total = 0
+            for j in range(i - 1, -1, -1):
+                if max_turns is not None and (i - j) > max_turns:
+                    break
+                if total + toks[j] > budget:
+                    break
+                kept.append(j)
+                total += toks[j]
+            kept.reverse()
+            out[(conv, turn)] = (
+                "\n".join(turns[j][1] for j in kept),
+                len(kept),
+                sum(toks[j] for j in kept),
+            )
+    return out
+
+
+@pytest.fixture(scope="module")
+def tr_rows():
+    # engineered: texts of 1..5 tokens, two conversations, shuffled input
+    rows = []
+    for conv in ("a", "b"):
+        for turn in range(12):
+            n = (turn * 7 + (3 if conv == "b" else 0)) % 5 + 1
+            rows.append((conv, turn, " ".join(f"{conv}{turn}w{k}" for k in range(n))))
+    return rows[::-1]  # reversed input order: result must not depend on it
+
+
+def _check(spark, rows, budget, max_turns):
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"]).repartition(7)
+    got = assemble_context(
+        df, budget=budget, max_turns=max_turns
+    ).collect()
+    ref = _reference(rows, budget, max_turns)
+    assert len(got) == len(rows)
+    for r in got:
+        ctx, n, tok = ref[(r["conv_id"], r["turn_idx"])]
+        assert r["context"] == ctx, (r["conv_id"], r["turn_idx"])
+        assert r["context_n_turns"] == n
+        assert r["context_n_tokens"] == tok
+        # leakage guard: context never contains this or any later turn's text
+        for fut in range(r["turn_idx"], 12):
+            assert f"{r['conv_id']}{fut}w0" not in r["context"]
+
+
+def test_budget_retention(spark, tr_rows):
+    _check(spark, tr_rows, budget=6, max_turns=64)
+
+
+def test_zero_budget_and_large_budget(spark, tr_rows):
+    _check(spark, tr_rows, budget=0, max_turns=64)
+    _check(spark, tr_rows, budget=10_000, max_turns=None)
+
+
+def test_max_turns_cap(spark, tr_rows):
+    _check(spark, tr_rows, budget=10_000, max_turns=3)
+
+
+def test_single_oversized_turn_excluded(spark):
+    rows = [("c", 0, "one two three four five"), ("c", 1, "x"), ("c", 2, "y z")]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = {r["turn_idx"]: r for r in assemble_context(df, budget=3).collect()}
+    assert out[0]["context"] == "" and out[0]["context_n_turns"] == 0
+    # turn 0 (5 tokens) never fits a 3-token budget; turn 1 (1 token) does
+    assert out[1]["context"] == ""
+    assert out[2]["context"] == "x" and out[2]["context_n_tokens"] == 1
+
+
+def test_step_form_and_leakage(spark, tr_rows):
+    df = spark.createDataFrame(tr_rows, ["conv_id", "turn_idx", "text"])
+    rec = Recipe(df, predictors=["text"], groups="conv_id", sequences="turn_idx")
+    rec.add_step(StepAssembleContext(sel=all_of(["text"]), budget=6))
+    out = rec.prep()
+    assert {"context", "context_n_turns", "context_n_tokens"} <= set(out.columns)
+    ref = _reference(tr_rows, 6, 64)
+    for r in out.collect():
+        assert r["context"] == ref[(r["conv_id"], r["turn_idx"])][0]
+    # bake on UNSEEN conversations applies the same expressions (stateless)
+    rows2 = [("z", 0, "alpha"), ("z", 1, "beta gamma"), ("z", 2, "delta")]
+    df2 = spark.createDataFrame(rows2, ["conv_id", "turn_idx", "text"])
+    baked = {r["turn_idx"]: r for r in rec.bake(df2).collect()}
+    assert baked[2]["context"] == "alpha\nbeta gamma"
+    # state round-trip keeps it runnable
+    import json
+
+    state = rec.steps[0].get_state()
+    s2 = StepAssembleContext(sel=all_of(["text"]), budget=1)
+    s2.set_state(json.loads(json.dumps(state)))
+    assert s2.budget == 6 and s2.trained
+
+
+def test_step_role_requirements(spark, tr_rows):
+    df = spark.createDataFrame(tr_rows, ["conv_id", "turn_idx", "text"])
+    rec = Recipe(df, predictors=["text"])  # no groups/sequences
+    rec.add_step(StepAssembleContext(sel=all_of(["text"]), budget=6))
+    with pytest.raises(ValueError, match="group role"):
+        rec.prep().count()
+
+
+def test_partitioning_invariance(spark, tr_rows):
+    df1 = spark.createDataFrame(tr_rows, ["conv_id", "turn_idx", "text"])
+    a = sorted(
+        (r["conv_id"], r["turn_idx"], r["context"])
+        for r in assemble_context(df1.repartition(1), budget=6).collect()
+    )
+    b = sorted(
+        (r["conv_id"], r["turn_idx"], r["context"])
+        for r in assemble_context(df1.repartition(13), budget=6).collect()
+    )
+    assert a == b
+
+
+def test_one_window_exchange(spark, tr_rows):
+    """Both windows (running sum + bounded collect) must fuse behind a
+    single Exchange on conv_id — the one-shuffle scale contract."""
+    df = spark.createDataFrame(tr_rows, ["conv_id", "turn_idx", "text"])
+    plan = (
+        assemble_context(df, budget=6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning(conv_id") == 1, plan
+
+
+def test_skew_bounded_frame(spark):
+    """A 100×-median conversation must not blow up the window buffer:
+    the bounded frame holds <= max_turns structs per row regardless of
+    conversation length, and results stay correct at the cap edge."""
+    tr = synthetic_transcripts(spark, n_convs=40, skew=True, skew_factor=100)
+    out = assemble_context(
+        tr, budget=10_000, order_cols=("turn_idx",), max_turns=8
+    )
+    agg = out.agg(
+        F.max("context_n_turns").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert agg["mx"] <= 8
+    assert agg["n"] == tr.count()
+
+
+def test_conversation_text_rollup(spark, tr_rows):
+    df = spark.createDataFrame(tr_rows, ["conv_id", "turn_idx", "text"])
+    out = {r["conv_id"]: r for r in conversation_text(df).collect()}
+    ref = _reference(tr_rows, 10**9, None)
+    # full-conv text == context of a virtual turn after the last + last text
+    for conv in ("a", "b"):
+        full_ctx, n, _ = ref[(conv, 11)]
+        last_text = [t for c, i, t in tr_rows if c == conv and i == 11][0]
+        assert out[conv]["text"] == full_ctx + "\n" + last_text
+        assert out[conv]["n_turns"] == 12
