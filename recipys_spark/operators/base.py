@@ -58,9 +58,21 @@ class Step:
 
     # -- lifecycle -----------------------------------------------------
 
+    #: True when the FITTED transform is a stateless projection /
+    #: Arrow map that applies unchanged to an unbounded streaming
+    #: DataFrame (no window, no aggregation-at-transform, no
+    #: stream-unsupported join). Steps whose streamability depends on
+    #: configuration override ``stream_safe()`` instead.
+    _stream_safe = False
+
     @property
     def trained(self) -> bool:
         return self._trained
+
+    def stream_safe(self) -> bool:
+        """Whether ``Recipe.bake_stream`` may apply this fitted step to
+        a streaming DataFrame. Default: the class flag."""
+        return self._stream_safe
 
     def fit(self, ingredients: Ingredients) -> "Step":
         if not isinstance(ingredients, Ingredients):

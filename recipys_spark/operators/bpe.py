@@ -234,6 +234,7 @@ class StepBpeTokens(Step):
     _uses_groups = False
     _uses_sequence = False
     _row_preserving = True
+    _stream_safe = True  # fitted state replays as a stateless projection/map
 
     def __init__(
         self,

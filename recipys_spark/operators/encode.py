@@ -66,6 +66,7 @@ class StepOrdinalEncode(Step):
     _uses_groups = False
     _uses_sequence = False
     _row_preserving = True
+    _stream_safe = True  # fitted state replays as a stateless projection/map
 
     def __init__(
         self, sel: Optional[Selector] = None, max_categories: int = 10_000
@@ -112,6 +113,7 @@ class StepOneHotEncode(Step):
     _uses_groups = False
     _uses_sequence = False
     _row_preserving = True
+    _stream_safe = True  # fitted state replays as a stateless projection/map
 
     def __init__(
         self,
@@ -176,6 +178,7 @@ class StepMissingIndicator(Step):
     _uses_groups = False
     _uses_sequence = False
     _row_preserving = True
+    _stream_safe = True  # fitted state replays as a stateless projection/map
 
     def __init__(
         self,
@@ -226,6 +229,7 @@ class StepLabelBinarize(Step):
     Multiclass emits one column per class, ``{prefix}_{i}`` 1-indexed."""
 
     _uses_groups = False
+    _stream_safe = True  # fitted state replays as a stateless projection/map
     _uses_sequence = False
 
     def __init__(
@@ -304,6 +308,7 @@ class StepTargetEncode(Step):
     _uses_groups = False
     _uses_sequence = False
     _row_preserving = True
+    _stream_safe = True  # fitted state replays as a stateless projection/map
 
     def __init__(
         self,
@@ -438,6 +443,7 @@ class StepHashEncode(Step):
     _uses_groups = False
     _uses_sequence = False
     _row_preserving = True
+    _stream_safe = True  # fitted state replays as a stateless projection/map
 
     def __init__(
         self,

@@ -83,6 +83,14 @@ class StepImputeFill(Step):
         self.skew_bucket_size = skew_bucket_size
         self.desc = f"Impute with {strategy if strategy else value}"
 
+    def stream_safe(self) -> bool:
+        """Constant/zero/one fills are pure coalesce projections →
+        streamable. forward/backward are windowed and mean/min/max
+        recompute group stats at transform time (groupBy + join-back —
+        an aggregation a streaming bake can't replay statelessly); use
+        streaming/session.py's watermarked features for those."""
+        return self.strategy in (None, "zero", "one")
+
     def do_transform(self, ingredients: Ingredients):
         df = ingredients.df
         groups, seq = self.group_columns, self.sequence_columns
@@ -205,6 +213,7 @@ class StepImputeFastZeroFill(Step):
     _uses_groups = False
     _uses_sequence = False
     _row_preserving = True
+    _stream_safe = True  # fitted state replays as a stateless projection/map
 
     def __init__(self, sel: Optional[Selector] = None) -> None:
         super().__init__(sel if sel is not None else all_predictors())

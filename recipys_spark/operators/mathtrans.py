@@ -33,6 +33,7 @@ class StepLog1p(Step):
     _uses_groups = False
     _uses_sequence = False
     _row_preserving = True
+    _stream_safe = True  # fitted state replays as a stateless projection/map
 
     def __init__(
         self,
@@ -76,6 +77,7 @@ class StepPolynomialFeatures(Step):
     _uses_groups = False
     _uses_sequence = False
     _row_preserving = True
+    _stream_safe = True  # fitted state replays as a stateless projection/map
 
     def __init__(
         self,

@@ -227,6 +227,7 @@ class StepImputeKNN(Step):
     _uses_groups = False
     _uses_sequence = False
     _row_preserving = True
+    _stream_safe = True  # fitted state replays as a stateless projection/map
 
     def __init__(
         self,
@@ -393,6 +394,7 @@ class StepImputeIterative(Step):
     _uses_groups = False
     _uses_sequence = False
     _row_preserving = True
+    _stream_safe = True  # fitted state replays as a stateless projection/map
 
     def __init__(
         self,

@@ -81,6 +81,7 @@ class _FittedStep(Step):
     _uses_groups = False
     _uses_sequence = False
     _row_preserving = True  # pure 1:1 column rewrites
+    _stream_safe = True  # fitted state replays as a stateless projection/map
 
     def __init__(self, sel: Optional[Selector] = None) -> None:
         super().__init__(sel if sel is not None else all_numeric_predictors())
@@ -241,6 +242,7 @@ class StepBinarize(Step):
     _uses_groups = False
     _uses_sequence = False
     _row_preserving = True
+    _stream_safe = True  # fitted state replays as a stateless projection/map
 
     def __init__(self, sel: Optional[Selector] = None, threshold: float = 0.0) -> None:
         super().__init__(sel if sel is not None else all_numeric_predictors())
@@ -266,6 +268,7 @@ class StepNormalize(Step):
     _uses_groups = False
     _uses_sequence = False
     _row_preserving = True
+    _stream_safe = True  # fitted state replays as a stateless projection/map
 
     def __init__(self, sel: Optional[Selector] = None, norm: str = "l2") -> None:
         super().__init__(sel if sel is not None else all_numeric_predictors())

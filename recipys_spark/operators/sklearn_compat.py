@@ -40,6 +40,7 @@ except ImportError:  # pragma: no cover
 
 class StepSklearn(Step):
     _uses_groups = False
+    _stream_safe = True  # fitted state replays as a stateless projection/map
     _uses_sequence = False
 
     def __init__(

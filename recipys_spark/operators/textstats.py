@@ -19,6 +19,7 @@ class StepTextFeatures(Step):
     ``{c}_fingerprint`` — all JVM-side expressions."""
 
     _uses_groups = False
+    _stream_safe = True  # fitted state replays as a stateless projection/map
     _uses_sequence = False
 
     FEATURES = ("n_chars", "n_tokens", "punct_ratio", "quality", "lang", "fingerprint")
@@ -222,6 +223,7 @@ class StepGopherSignals(Step):
     projection like StepTextFeatures."""
 
     _uses_groups = False
+    _stream_safe = True  # fitted state replays as a stateless projection/map
     _uses_sequence = False
 
     def __init__(self, sel=None, role: str = "predictor") -> None:

@@ -268,6 +268,50 @@ class Recipe:
         result = self._apply_fit_transform(ingredients, refit=False)
         return result.df
 
+    def bake_stream(self, data: DataFrame) -> DataFrame:
+        """Apply the FITTED recipe to an unbounded streaming DataFrame
+        (Structured Streaming): batch-fit at prep time, stream-apply
+        with frozen state — the train/serve split of the prep/bake
+        leakage rule extended to a live feed. Returns the transformed
+        streaming frame; attach your own ``writeStream`` sink.
+
+        Requirements, checked eagerly so a bad pipeline fails at build
+        time instead of mid-stream:
+
+        - ``data.isStreaming`` (use :meth:`bake` for batch frames);
+        - every step already trained (a stream can't be collected to
+          fit state — ``prep()`` on a bounded sample first);
+        - every step ``stream_safe()``: fitted state replaying as a
+          stateless projection / Arrow map. Windowed or
+          transform-time-aggregating steps (StepHistorical, StepLag,
+          StepSessionize, directional/group-stat StepImputeFill,
+          StepResampling, StepAssembleContext, …) raise here — their
+          streaming analogs live in ``recipys_spark.streaming``
+          (watermarked session stats / running features / dedup).
+        """
+        if not getattr(data, "isStreaming", False):
+            raise ValueError(
+                "bake_stream expects a streaming DataFrame "
+                "(spark.readStream...); use bake() for batch data"
+            )
+        untrained = [type(s).__name__ for s in self.steps if not s.trained]
+        if untrained:
+            raise RuntimeError(
+                "bake_stream applies FROZEN state only; prep() the "
+                f"recipe on batch data first (untrained: {untrained})"
+            )
+        unsafe = [type(s).__name__ for s in self.steps if not s.stream_safe()]
+        if unsafe:
+            raise ValueError(
+                "steps not applicable to an unbounded stream: "
+                f"{unsafe}. Window/aggregation features have watermarked "
+                "streaming analogs in recipys_spark.streaming."
+            )
+        ingredients = self._check_data(data)
+        for step in self.steps:
+            ingredients = step.transform(ingredients)
+        return ingredients.df
+
     # -- fitted-state persistence (reference Recipe.cache analog) ---------
 
     def cache(self, path: Optional[str] = None) -> "Recipe":
