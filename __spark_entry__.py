@@ -300,6 +300,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["assemble_context"] = ctx_assemble
 
+    # conversation-granularity rollup (transcripts.conversation_text):
+    # the input tier for whole-conversation dedup
+    def conv_rollup(s, d):
+        from pyspark.sql import Window as W
+
+        from recipys_spark.operators.transcripts import conversation_text
+
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        tr = _t(s, d, "events").select(
+            "user_id",
+            (F.row_number().over(w) - 1).cast("long").alias("turn_idx"),
+            F.concat(
+                F.col("event_type"),
+                F.lit(" value "),
+                F.col("value").cast("string"),
+            ).alias("text"),
+        )
+        return conversation_text(tr, conv_col="user_id").select(
+            F.col("user_id").alias("conv_id"), "text", "n_turns"
+        )
+
+    q["conversation_text"] = conv_rollup
+
     # -- lag/lead + rolling (§2.3 window functions) ---------------------
     def lag_lead(s, d):
         ev = _events_with_nulls(s, d)
@@ -1355,11 +1378,12 @@ _DEFER_TO_BACK = [
     "ordinal_encode",
     "polynomial_features",
     # round-5 additions: impute_knn / impute_iterative /
-    # assemble_context take three slots; three more r03+r04
-    # double-green trivia yield theirs
+    # assemble_context / conversation_text take four slots; four more
+    # r03+r04 double-green trivia yield theirs
     "hist_max",
     "impute_ffill_limit",
     "sessionize",
+    "resample_2h_agg",
 ]
 
 _DRIVER_WINDOW = 50
@@ -1611,6 +1635,18 @@ def oracle_sql() -> dict[str, str]:
         "coalesce(a.n_tok, 0) AS context_n_tokens "
         "FROM c LEFT JOIN agg a ON c.conv_id = a.conv_id "
         "AND c.turn_idx = a.turn_idx"
+    )
+    # conversation rollup: ordered string_agg mirrors the sorted-struct
+    # array_join (turn_idx is unique per conversation, so the struct
+    # sort and ORDER BY turn_idx agree)
+    o["conversation_text"] = (
+        "WITH tr AS (SELECT user_id AS conv_id, "
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "- 1 AS BIGINT) AS turn_idx, "
+        "concat(event_type, ' value ', CAST(value AS VARCHAR)) AS text "
+        "FROM events) "
+        "SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text, "
+        "CAST(count(*) AS BIGINT) AS n_turns FROM tr GROUP BY conv_id"
     )
 
     o["lag_lead"] = (

@@ -47,6 +47,7 @@ HEADLINE = [
     "impute_knn",
     "impute_iterative",
     "assemble_context",
+    "conversation_text",
     "lag_lead",
     "sessionize",
     "resample_2h_agg",

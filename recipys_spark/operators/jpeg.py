@@ -471,6 +471,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if pos + 4 > len(payload):
+            # the fill-byte skip advanced past the outer bound check —
+            # keep the documented error type, not a struct.error
+            raise ValueError("truncated segment after fill bytes")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen

@@ -28,9 +28,14 @@ fallback when no donor overlaps):
   left-to-right tree and the neighbor mean the same exact-decimal sum).
 
 Determinism/tie-break deviation from sklearn: neighbors are the k
-smallest by ``(dist², donor_id)`` — a total order. sklearn's
-``np.argpartition`` tie-break is unspecified; for continuous features
-ties have measure zero, so fitted values agree.
+smallest under a TOTAL order — ``(dist², donor_id)`` in the join tier,
+``(dist², content-hash pool position)`` in the Arrow tier (the pool is
+always sorted by the xxhash64 content hash, in the capped AND the
+uncapped path, so the order is a function of the data, never of
+partitioning). sklearn's ``np.argpartition`` tie-break is unspecified.
+On exact distance ties the two tiers may therefore pick different
+(equally-near) donors; for continuous features ties have measure zero
+and the tiers agree bit-for-bit, which is what the parity pytest pins.
 
 **StepImputeIterative** — MICE (sklearn ``IterativeImputer`` shape):
 round-robin regress each missing column on the others, update, repeat.
@@ -260,17 +265,27 @@ class StepImputeKNN(Step):
             nn = F.col(c).isNotNull()
             keep = nn if keep is None else (keep | nn)
         df = df.where(keep)
+        # deterministic content-hash ORDER in both paths: the pool's row
+        # order is the Arrow tier's distance tie-break, so it must be a
+        # function of content, never of physical partitioning (the
+        # engine's determinism-at-any-parallelism rule)
+        h = F.xxhash64(*[F.col(c) for c in self.columns])
+        df = df.withColumn("__h", h).orderBy("__h", *self.columns)
         if self.fit_sample_rows is not None:
-            # deterministic content-hash top-k (the StepSklearn fit-cap
-            # pattern): identical pool at any partitioning
-            h = F.xxhash64(*[F.col(c) for c in self.columns])
-            df = (
-                df.withColumn("__h", h)
-                .orderBy("__h", *self.columns)
-                .limit(int(self.fit_sample_rows))
-                .drop("__h")
+            # bounded top-k (the StepSklearn fit-cap pattern)
+            df = df.limit(int(self.fit_sample_rows))
+        else:
+            import warnings
+
+            warnings.warn(
+                "StepImputeKNN(fit_sample_rows=None) collects the "
+                "ENTIRE table to the driver as the donor pool — a "
+                "driver OOM at cluster scale. Set fit_sample_rows to a "
+                "bounded cap (default 10k) unless the table is "
+                "known-small.",
+                stacklevel=3,
             )
-        pdf = df.toPandas()
+        pdf = df.drop("__h").toPandas()
         self.pool = [
             [None if v is None or (isinstance(v, float) and np.isnan(v)) else float(v) for v in row]
             for row in pdf.itertuples(index=False, name=None)
@@ -468,19 +483,26 @@ class StepImputeIterative(Step):
         ).first()
         self.init_means = {c: stats[f"m_{c}"] for c in cols}
         n_missing = {c: stats["n_all"] - stats[f"n_{c}"] for c in cols}
+        # ENTIRELY-null columns have no mean, stay null after init, and
+        # would poison every normal-equation sum (NULL decimal sums →
+        # float(None) crashes) — they can be neither targets nor
+        # regressors. Left untouched in the output: there is no signal
+        # to impute from (sklearn's IterativeImputer likewise refuses
+        # all-nan features).
+        usable = [c for c in cols if n_missing[c] < stats["n_all"]]
         # sklearn default imputation_order='ascending': fewest missing
         # first; complete columns are regressors only
         targets = sorted(
-            (c for c in cols if 0 < n_missing[c] < stats["n_all"]),
+            (c for c in usable if n_missing[c] > 0),
             key=lambda c: (n_missing[c], c),
         )
         self.coefs = []
-        if not targets:
+        if not targets or len(usable) < 2:
             return
         current = self._init_frame(df, cols)
         for _sweep in range(self.max_iter):
             for t in targets:
-                others = [c for c in cols if c != t]
+                others = [c for c in usable if c != t]
                 b0, betas = self._fit_one(current, t, others)
                 if b0 is None:
                     continue
@@ -513,7 +535,11 @@ class StepImputeIterative(Step):
                 )
         s = rows.agg(*aggs).first()
         n = float(s["n"])
-        if n == 0:
+        # any NULL sum ⇒ a regressor with no observed value among the
+        # fit rows (or zero fit rows): the system is unsolvable for
+        # this (sweep, target) — skip it rather than crash on
+        # float(None)
+        if n == 0 or any(v is None for v in s[1:]):
             return None, None
         if len(others) == 1:
             slope, b0 = _ols_closed_form(

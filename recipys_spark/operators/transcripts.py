@@ -67,6 +67,12 @@ def assemble_context(
     whitespace tokens (functions/text.token_count) — swap in
     bpe_ish_token_count upstream by pre-computing a column and passing
     it via ``text_col``'s frame if a subword budget is needed.
+
+    NULL-text contract: a NULL turn counts 0 tokens and contributes ''
+    to the contexts it lands in (it keeps its separator slot, so turn
+    positions stay reconstructible). Without this, one NULL token count
+    would make the retention predicate NULL and silently EMPTY every
+    context that window touches.
     """
     if budget < 0:
         raise ValueError("budget must be >= 0")
@@ -82,9 +88,18 @@ def assemble_context(
     )
     lo = Window.unboundedPreceding if max_turns is None else -int(max_turns)
     prior = Window.partitionBy(conv_col).orderBy(*order).rowsBetween(lo, -1)
-    base = df.withColumn(tok, token_count(F.col(text_col)).cast("long"))
+    safe_tok = F.when(
+        F.col(text_col).isNull(), F.lit(0).cast("long")
+    ).otherwise(token_count(F.col(text_col)).cast("long"))
+    base = df.withColumn(tok, safe_tok)
     base = base.withColumn(cum, F.sum(tok).over(run))
-    arr = F.collect_list(F.struct(F.col(cum).alias("c"), F.col(tok).alias("t"), F.col(text_col).alias("x"))).over(prior)
+    arr = F.collect_list(
+        F.struct(
+            F.col(cum).alias("c"),
+            F.col(tok).alias("t"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("x"),
+        )
+    ).over(prior)
     prior_cum = F.col(cum) - F.col(tok)  # running total through turn t-1
     kept = F.filter(arr, lambda s: (prior_cum - (s["c"] - s["t"])) <= F.lit(int(budget)))
     ctx = F.array_join(F.transform(kept, lambda s: s["x"]), sep)
@@ -115,8 +130,16 @@ def conversation_text(
     collected (order, text) structs, so the result is partitioning-
     independent."""
     order = list(order_cols)
+    # NULL text → '' BEFORE the join: array_join silently DROPS null
+    # elements (losing the turn's separator slot); same contract as
+    # assemble_context
     pairs = F.array_sort(
-        F.collect_list(F.struct(*[F.col(c) for c in order], F.col(text_col).alias("__x")))
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order],
+                F.coalesce(F.col(text_col), F.lit("")).alias("__x"),
+            )
+        )
     )
     return df.groupBy(conv_col).agg(
         F.array_join(F.transform(pairs, lambda s: s["__x"]), sep).alias(text_col),

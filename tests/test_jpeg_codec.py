@@ -186,3 +186,11 @@ def test_fill_bytes_before_markers_tolerated():
         pos += 2 + seglen
     padded = decode_jpeg(bytes(out))
     assert np.array_equal(padded, base)
+
+
+def test_trailing_fill_bytes_raise_valueerror_not_struct_error():
+    """Review fix: fill-byte skipping could advance past the outer
+    bound and surface struct.error; the codec's contract is ValueError
+    for every malformed payload."""
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xff\xff")

@@ -119,7 +119,7 @@ def test_knn_matches_numpy_reference_uniform_and_distance(spark):
     for weights in ("uniform", "distance"):
         step = StepImputeKNN(
             sel=all_of(cols), n_neighbors=5, weights=weights,
-            fit_sample_rows=None if False else 10_000,
+            fit_sample_rows=10_000,
         )
         out = (
             Recipe(df, predictors=cols)
@@ -337,3 +337,52 @@ def test_reference_fixture_rows_become_finite(example_df_nan):
         ).add_step(step)
         out = rec.prep().orderBy("id", "time").toPandas()
         assert np.isfinite(out["x2"].to_numpy()).all()
+
+
+def test_iterative_all_null_column_skipped_not_crashed(spark):
+    """Review fix: an entirely-NULL selected column used to reach
+    float(None) inside the normal-equation solve. It must be excluded
+    from targets AND regressors (no signal), left untouched, while the
+    other columns still impute."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "rid": range(8),
+            "a": [1.0, 2.0, None, 4.0, 5.0, None, 7.0, 8.0],
+            "b": [2.1, 4.2, 6.1, 8.3, 10.2, 12.1, 14.3, 16.2],
+            "dead": [None] * 8,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    step = StepImputeIterative(sel=all_of(["a", "b", "dead"]), max_iter=2)
+    out = (
+        Recipe(df, predictors=["a", "b", "dead"])
+        .add_step(step)
+        .prep()
+        .orderBy("rid")
+        .toPandas()
+    )
+    assert out["dead"].isna().all()  # untouched: nothing to learn from
+    assert not out["a"].isna().any()  # still imputed from b
+    assert all(t != "dead" and "dead" not in regs for t, regs, _, _ in step.coefs)
+
+
+def test_knn_unbounded_pool_warns_and_orders_by_content(spark):
+    """Review fix: fit_sample_rows=None must warn (unbounded driver
+    collect — the StepSklearn policy) and the pool must be sorted by
+    the content hash in BOTH paths, so tie-breaks never depend on
+    physical partitioning."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"x1": [1.0, 2.0, None, 4.0, 5.0, 6.0], "x2": [2.0, 3.0, 4.0, None, 6.0, 7.0]}
+    )
+    pools = []
+    for parts in (1, 5):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        step = StepImputeKNN(sel=all_of(["x1", "x2"]), fit_sample_rows=None)
+        with pytest.warns(UserWarning, match="ENTIRE table"):
+            Recipe(df, predictors=["x1", "x2"]).add_step(step).prep().count()
+        pools.append(step.pool)
+    assert pools[0] == pools[1]  # identical ORDER at any partitioning

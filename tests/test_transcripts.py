@@ -189,3 +189,23 @@ def test_conversation_text_rollup(spark, tr_rows):
         last_text = [t for c, i, t in tr_rows if c == conv and i == 11][0]
         assert out[conv]["text"] == full_ctx + "\n" + last_text
         assert out[conv]["n_turns"] == 12
+
+
+def test_null_text_contract(spark):
+    """Review fix: a NULL turn counts 0 tokens and contributes '' (with
+    its separator slot) — it must not NULL-poison the retention
+    predicate and empty every context its window touches."""
+    rows = [
+        ("n", 0, "alpha beta"),
+        ("n", 1, None),
+        ("n", 2, "gamma"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = {r["turn_idx"]: r for r in assemble_context(df, budget=100).collect()}
+    assert out[1]["context"] == "alpha beta" and out[1]["context_n_turns"] == 1
+    # the NULL turn keeps its slot ('' between the separators), costs 0
+    assert out[2]["context"] == "alpha beta\n"
+    assert out[2]["context_n_turns"] == 2
+    assert out[2]["context_n_tokens"] == 2
+    conv = conversation_text(df).collect()[0]
+    assert conv["text"] == "alpha beta\n\ngamma" and conv["n_turns"] == 3
