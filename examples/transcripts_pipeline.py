@@ -8,9 +8,14 @@ together (the reference repo's examples/ analog, Spark-native):
 1. FEATURE ENGINEERING (the north-rule core): a Recipe over the
    transcript-shaped events table — expanding mean, forward fill,
    lag, ts-gap sessionization — prep/bake with frozen state.
-2. CORPUS CURATION: quality filter + exact dedup + MinHash near-dedup
+2. TRAINING-ROW ASSEMBLY: point-in-time context windows over a real
+   transcript table (StepAssembleContext — each turn paired with the
+   prior turns that fit a token budget, zero leakage), then the same
+   fitted recipe applied to a LIVE STREAM of the same turns
+   (Recipe.bake_stream + streaming_assemble_context).
+3. CORPUS CURATION: quality filter + exact dedup + MinHash near-dedup
    over the documents table, with audit columns.
-3. SIMILARITY SEARCH: auto-sized hyperplane-LSH ANN over the
+4. SIMILARITY SEARCH: auto-sized hyperplane-LSH ANN over the
    embeddings table, verified against the brute tier.
 """
 
@@ -60,7 +65,63 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     baked = rec.bake(events)
     print(f"prep rows = {feats.count()}, bake rows = {baked.count()}")
 
-    # -- 2. corpus curation -------------------------------------------
+    # -- 2. training-row assembly (batch + stream) --------------------
+    import tempfile
+
+    from recipys_spark.operators import StepAssembleContext, StepScale
+    from recipys_spark.sources.io import synthetic_transcripts
+    from recipys_spark.streaming.context import streaming_assemble_context
+
+    tr_dir = tempfile.mkdtemp(prefix="transcripts_") + "/turns"
+    synthetic_transcripts(spark, n_convs=200, with_features=True).write.parquet(
+        tr_dir
+    )
+    turns = spark.read.parquet(tr_dir)
+    ctx_rec = Recipe(
+        turns,
+        predictors=["text", "value"],
+        groups="conv_id",
+        sequences="turn_idx",
+    )
+    ctx_rec.add_step(StepImputeFill(sel=all_of(["value"]), value=0.0))
+    ctx_rec.add_step(StepScale(sel=all_of(["value"])))
+    ctx_rec.add_step(
+        StepAssembleContext(sel=all_of(["text"]), budget=40, max_turns=8)
+    )
+    rows = ctx_rec.prep()
+    print("== training rows (context assembly) ==")
+    rows.where(F.col("turn_idx") == 3).select(
+        "conv_id", "turn_idx", "context_n_turns", "context_n_tokens"
+    ).show(3)
+    # the SAME fitted scaler replayed over a live stream of the turns
+    # (context assembly is windowed, so its streaming form is the
+    # stateful operator, chained after the stream bake)
+    stream = spark.readStream.schema(turns.schema).parquet(tr_dir)
+    stream_rec = Recipe(
+        turns, predictors=["value"], groups="conv_id", sequences="turn_idx"
+    )
+    stream_rec.add_step(StepImputeFill(sel=all_of(["value"]), value=0.0))
+    stream_rec.add_step(StepScale(sel=all_of(["value"])))
+    stream_rec.prep().count()
+    scaled_stream = stream_rec.bake_stream(stream)
+    live_ctx = streaming_assemble_context(
+        scaled_stream.select("conv_id", "turn_idx", "text"),
+        budget=40,
+        max_turns=8,
+    )
+    q = (
+        live_ctx.writeStream.format("memory")
+        .queryName("live_ctx")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_live = spark.sql("select count(*) n from live_ctx").first()["n"]
+    print(f"streaming bake + live context rows = {n_live} "
+          f"(batch rows = {rows.count()})")
+
+    # -- 3. corpus curation -------------------------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     survivors = clean_corpus(docs, min_tokens=5, min_quality=0.2)
     n_in, n_out = docs.count(), survivors.count()
@@ -69,7 +130,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
           f"({n_in - n_out} filtered or deduped)")
     survivors.select("doc_id", "n_tokens", "quality", "lang_id").show(5)
 
-    # -- 3. similarity search -----------------------------------------
+    # -- 4. similarity search -----------------------------------------
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
     params = recommend_lsh_params(emb.count(), dim)
