@@ -438,6 +438,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["asof_join"] = asof
 
+    # direction= variants (round 5): the full pandas merge_asof surface
+    def _asof_dir(s, d, direction, tolerance=None):
+        ev = _events_with_nulls(s, d)
+        feats = (
+            _t(s, d, "events")
+            .where(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("fts"), F.col("value").alias("feat"))
+        )
+        return asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            feats,
+            on="user_id",
+            left_ts="ts",
+            right_ts="fts",
+            direction=direction,
+            tolerance=tolerance,
+        ).select(*_EVENTS_KEYS, "feat")
+
+    q["asof_join_forward"] = lambda s, d: _asof_dir(s, d, "forward")
+    q["asof_join_nearest"] = lambda s, d: _asof_dir(s, d, "nearest", tolerance="1d")
+
     def asof_tol(s, d):
         ev = _events_with_nulls(s, d)
         feats = (
@@ -1384,6 +1405,8 @@ _DEFER_TO_BACK = [
     "impute_ffill_limit",
     "sessionize",
     "resample_2h_agg",
+    "scale_standard",
+    "scale_robust",
 ]
 
 _DRIVER_WINDOW = 50
@@ -1698,6 +1721,31 @@ def oracle_sql() -> dict[str, str]:
         "ON e.user_id = f.user_id AND f.fts <= e.ts"
     )
     o["asof_join_salted"] = o["asof_join"]
+    o["asof_join_forward"] = (
+        "SELECT e.event_id, e.user_id, e.ts, f.feat "
+        f"FROM events e ASOF LEFT JOIN ({_feats}) f "
+        "ON e.user_id = f.user_id AND f.fts >= e.ts"
+    )
+    # nearest (1d tolerance): both directed candidates, per-side
+    # tolerance, closer wins, exact tie → backward — the identical
+    # predicate tree the Spark plan evaluates
+    o["asof_join_nearest"] = (
+        f"WITH f AS ({_feats}), "
+        "b AS (SELECT e.event_id, e.user_id, e.ts, f.feat AS bfeat, "
+        "f.fts AS bts FROM events e ASOF LEFT JOIN f "
+        "ON e.user_id = f.user_id AND f.fts <= e.ts), "
+        "fw AS (SELECT e.event_id, f.feat AS ffeat, f.fts AS fts2 "
+        "FROM events e ASOF LEFT JOIN f "
+        "ON e.user_id = f.user_id AND f.fts >= e.ts) "
+        "SELECT b.event_id, b.user_id, b.ts, "
+        "CASE WHEN (b.bts IS NOT NULL AND epoch(b.ts) - epoch(b.bts) <= 86400.0) "
+        "AND (NOT (fw.fts2 IS NOT NULL AND epoch(fw.fts2) - epoch(b.ts) <= 86400.0) "
+        "OR epoch(b.ts) - epoch(b.bts) <= epoch(fw.fts2) - epoch(b.ts)) "
+        "THEN b.bfeat "
+        "WHEN fw.fts2 IS NOT NULL AND epoch(fw.fts2) - epoch(b.ts) <= 86400.0 "
+        "THEN fw.ffeat END AS feat "
+        "FROM b JOIN fw ON b.event_id = fw.event_id"
+    )
     o["asof_join_tolerance"] = (
         "SELECT e.event_id, e.user_id, e.ts, "
         "(SELECT f.feat FROM (" + _feats + ") f "

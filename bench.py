@@ -53,6 +53,7 @@ HEADLINE = [
     "resample_2h_agg",
     "asof_join",
     "asof_join_salted",
+    "asof_join_nearest",
     "time_rollup",
     "range_join_events",
     "scale_standard",

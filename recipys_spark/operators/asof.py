@@ -3,9 +3,16 @@ reference and Spark — SURVEY.md §2.3 "joins").
 
 ``asof_join(left, right, ...)``: for every left row, attach the value
 columns of the *latest* right row with ``right_ts <= left_ts`` within
-the same key(s), optionally within a ``tolerance``. Zero temporal
+the same key(s), optionally within a ``tolerance``. ``direction=``
+extends this to the full pandas ``merge_asof`` surface (forward =
+earliest ``right_ts >= left_ts``, nearest = closer of the two with
+backward tie-break). The default backward join has zero temporal
 leakage by construction: no right row with ``ts' > ts`` can ever be
-matched.
+matched — the property the north rule's feature engine relies on;
+forward/nearest are for non-feature alignment work (next-event
+attribution, nearest-reading calibration) and are deliberately NOT
+reachable from StepAsofJoin's feature path unless asked for
+explicitly.
 
 Two physical strategies:
 
@@ -74,12 +81,37 @@ def asof_join(
     suffix: str = "",
     strategy: str = "union",
     bucket_size: Optional[int] = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Columns returned: all of ``left`` + right's value columns
     (right minus keys minus ts), suffixed if ``suffix``.
 
+    ``direction`` (the pandas ``merge_asof`` surface, all inclusive at
+    equal timestamps):
+
+    - ``backward`` (default): latest right row with ``r_ts <= l_ts``;
+    - ``forward``: earliest right row with ``r_ts >= l_ts``;
+    - ``nearest``: whichever of the two is closer in time; exact ties
+      go BACKWARD (the deterministic rule — pandas leaves it to
+      float coincidence). Union strategy only costs one extra window
+      over the SAME sorted exchange.
+
+    ``backward``/``forward`` are supported by ``union`` and
+    ``broadcast``; ``nearest`` by ``union``. The ``salted`` hot-key
+    plan stays backward-only (its cross-bucket donor forward-fill is
+    direction-specific; mirror the bucketing by time-reversal upstream
+    if a skewed forward join is ever needed).
+
     ``bucket_size`` (seconds of ``ts`` per bucket) is required for the
     ``salted`` strategy."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
+    if direction != "backward" and strategy == "salted":
+        raise ValueError("the salted strategy supports direction='backward' only")
+    if direction == "nearest" and strategy != "union":
+        raise ValueError("direction='nearest' is supported by the union strategy")
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
     value_cols = [c for c in right.columns if c not in keys and c != right_ts]
@@ -103,17 +135,23 @@ def asof_join(
             cond = cond & (F.col(k) == F.col(f"__r_{k}"))
         lt = left.schema[left_ts].dataType
         rt = right.schema[right_ts].dataType
-        cond = cond & (_ts_num(F.col("__r_ts"), rt) <= _ts_num(F.col(left_ts), lt))
-        if tol is not None:
-            cond = cond & (
-                _ts_num(F.col(left_ts), lt) - _ts_num(F.col("__r_ts"), rt) <= F.lit(tol)
-            )
-        # latest matching right row per left row
+        l_num = _ts_num(F.col(left_ts), lt)
+        r_num = _ts_num(F.col("__r_ts"), rt)
+        if direction == "forward":
+            cond = cond & (r_num >= l_num)
+            if tol is not None:
+                cond = cond & (r_num - l_num <= F.lit(tol))
+        else:
+            cond = cond & (r_num <= l_num)
+            if tol is not None:
+                cond = cond & (l_num - r_num <= F.lit(tol))
         joined = left.withColumn("__lid", F.monotonically_increasing_id()).join(
             F.broadcast(r), cond, "left"
         )
+        # latest (backward) / earliest (forward) matching right row
+        pick = F.max_by if direction == "backward" else F.min_by
         aggs = [
-            F.max_by(F.col(c), F.col("__r_ts")).alias(out_names[c]) for c in value_cols
+            pick(F.col(c), F.col("__r_ts")).alias(out_names[c]) for c in value_cols
         ]
         out = (
             joined.groupBy("__lid", *[F.col(c) for c in left.columns])
@@ -202,35 +240,75 @@ def asof_join(
             vals = [F.col("__match")[c].alias(out_names[c]) for c in value_cols]
         return joined.select(*left.columns, *vals)
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col(_SIDE))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     # Row-level match semantics (pandas merge_asof / SQL ASOF JOIN):
-    # the latest right ROW wins even where one of its value columns is
+    # the matched right ROW wins even where one of its value columns is
     # null — pack the row into a struct so the fill is row-atomic, not
     # per-column.
     donor_fields = [F.col("__r_ts").alias("__mts")] + [
         F.col(f"__r_{c}").alias(c) for c in value_cols
     ]
     donor = F.when(F.col(_SIDE) == 0, F.struct(*donor_fields))
-    filled = unioned.select(
-        "*", F.last(donor, ignorenulls=True).over(w).alias("__match")
-    ).where(F.col(_SIDE) == 1)
+    lt = left.schema[left_ts].dataType
+    rt = right.schema[right_ts].dataType
 
-    if tol is not None:
-        lt = left.schema[left_ts].dataType
-        rt = right.schema[right_ts].dataType
-        in_tol = (
-            _ts_num(F.col("__ts"), lt) - _ts_num(F.col("__match")["__mts"], rt)
-        ) <= F.lit(tol)
+    # backward window: right rows sort BEFORE left at equal ts, so the
+    # expanding last() is inclusive; forward window: right rows sort
+    # AFTER left at equal ts, first() over the following frame — both
+    # share ONE partition exchange (Catalyst re-sorts, never reshuffles)
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col(_SIDE))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col(_SIDE).desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
+    def _in_tol(match, signed_diff):
+        if tol is None:
+            return F.lit(True)
+        return signed_diff <= F.lit(tol)
+
+    if direction in ("backward", "forward"):
+        if direction == "backward":
+            matched = F.last(donor, ignorenulls=True).over(w_back)
+        else:
+            matched = F.first(donor, ignorenulls=True).over(w_fwd)
+        filled = unioned.select("*", matched.alias("__match")).where(
+            F.col(_SIDE) == 1
+        )
+        ts_n = _ts_num(F.col("__ts"), lt)
+        m_n = _ts_num(F.col("__match")["__mts"], rt)
+        diff = (ts_n - m_n) if direction == "backward" else (m_n - ts_n)
         vals = [
-            F.when(in_tol, F.col("__match")[c]).alias(out_names[c])
+            F.when(_in_tol(F.col("__match"), diff), F.col("__match")[c]).alias(
+                out_names[c]
+            )
             for c in value_cols
         ]
-    else:
-        vals = [F.col("__match")[c].alias(out_names[c]) for c in value_cols]
+        return filled.select(*left.columns, *vals)
+
+    # nearest: evaluate both candidates, keep the closer; exact tie →
+    # backward (deterministic). Tolerance applies per side first.
+    filled = unioned.select(
+        "*",
+        F.last(donor, ignorenulls=True).over(w_back).alias("__mb"),
+        F.first(donor, ignorenulls=True).over(w_fwd).alias("__mf"),
+    ).where(F.col(_SIDE) == 1)
+    ts_n = _ts_num(F.col("__ts"), lt)
+    bd = ts_n - _ts_num(F.col("__mb")["__mts"], rt)
+    fd = _ts_num(F.col("__mf")["__mts"], rt) - ts_n
+    b_ok = F.col("__mb").isNotNull() & _in_tol(F.col("__mb"), bd)
+    f_ok = F.col("__mf").isNotNull() & _in_tol(F.col("__mf"), fd)
+    take_back = b_ok & (~f_ok | (bd <= fd))
+    vals = [
+        F.when(take_back, F.col("__mb")[c])
+        .otherwise(F.when(f_ok, F.col("__mf")[c]))
+        .alias(out_names[c])
+        for c in value_cols
+    ]
     return filled.select(*left.columns, *vals)
 
 
@@ -248,6 +326,7 @@ class StepAsofJoin(Step):
         strategy: str = "union",
         role: str = "predictor",
         bucket_size: Optional[int] = None,
+        direction: str = "backward",
     ) -> None:
         from recipys_spark.selector import Selector
 
@@ -259,7 +338,8 @@ class StepAsofJoin(Step):
         self.strategy = strategy
         self.role = role
         self.bucket_size = bucket_size
-        self.desc = "Point-in-time as-of join"
+        self.direction = direction
+        self.desc = f"Point-in-time as-of join ({direction})"
 
     def new_column_roles(self) -> dict[str, str]:
         keys = set(self.group_columns) | {self.right_ts}
@@ -290,4 +370,5 @@ class StepAsofJoin(Step):
             suffix=self.suffix,
             strategy=self.strategy,
             bucket_size=self.bucket_size,
+            direction=self.direction,
         )

@@ -197,3 +197,135 @@ def test_asof_salted_equals_union_on_skewed_transcripts(spark):
         union_t["feat"].to_numpy(dtype=float),
         equal_nan=True,
     )
+
+
+# -- direction= (forward / nearest), round 5 --------------------------------
+
+
+def _pandas_dir(left_pdf, right_pdf, direction, tolerance=None):
+    kw = {}
+    if tolerance is not None:
+        kw["tolerance"] = pd.Timedelta(seconds=tolerance)
+    return (
+        pd.merge_asof(
+            left_pdf.sort_values("ts"),
+            right_pdf.sort_values("fts").rename(columns={"fts": "ts"}),
+            on="ts",
+            by="key",
+            direction=direction,
+            **kw,
+        )
+        .sort_values(["key", "ts"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("strategy", ["union", "broadcast"])
+@pytest.mark.parametrize("tolerance", [None, 90 * 60])
+def test_asof_forward_matches_pandas(spark, left_pdf, right_pdf, strategy, tolerance):
+    got = (
+        asof_join(
+            spark.createDataFrame(left_pdf),
+            spark.createDataFrame(right_pdf),
+            on="key",
+            left_ts="ts",
+            right_ts="fts",
+            strategy=strategy,
+            direction="forward",
+            tolerance=tolerance,
+        )
+        .toPandas()
+        .sort_values(["key", "ts"])
+        .reset_index(drop=True)
+    )
+    expected = _pandas_dir(left_pdf, right_pdf, "forward", tolerance)
+    np.testing.assert_allclose(
+        got["feat"].to_numpy(), expected["feat"].to_numpy(), equal_nan=True
+    )
+
+
+def test_asof_nearest_matches_pandas_tie_free(spark, left_pdf, right_pdf):
+    got = (
+        asof_join(
+            spark.createDataFrame(left_pdf),
+            spark.createDataFrame(right_pdf),
+            on="key",
+            left_ts="ts",
+            right_ts="fts",
+            direction="nearest",
+        )
+        .toPandas()
+        .sort_values(["key", "ts"])
+        .reset_index(drop=True)
+    )
+    expected = _pandas_dir(left_pdf, right_pdf, "nearest")
+    np.testing.assert_allclose(
+        got["feat"].to_numpy(), expected["feat"].to_numpy(), equal_nan=True
+    )
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    left = pd.DataFrame({"key": ["a"], "ts": [_ts(2)], "payload": [1]})
+    right = pd.DataFrame(
+        {"key": ["a", "a"], "fts": [_ts(1), _ts(3)], "feat": [10.0, 20.0]}
+    )
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="key",
+        left_ts="ts",
+        right_ts="fts",
+        direction="nearest",
+    ).collect()
+    assert got[0]["feat"] == 10.0  # equidistant → backward, deterministically
+
+
+def test_asof_nearest_tolerance_per_side(spark):
+    """A backward match outside tolerance must not block a forward
+    match inside it (and vice versa)."""
+    left = pd.DataFrame({"key": ["a"], "ts": [_ts(5)], "payload": [1]})
+    right = pd.DataFrame(
+        {"key": ["a", "a"], "fts": [_ts(0), _ts(5, 30)], "feat": [10.0, 20.0]}
+    )
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="key",
+        left_ts="ts",
+        right_ts="fts",
+        direction="nearest",
+        tolerance="1h",
+    ).collect()
+    assert got[0]["feat"] == 20.0  # backward 5h away > tol; forward 30m ok
+
+
+def test_asof_direction_guards(spark, left_pdf, right_pdf):
+    l, r = spark.createDataFrame(left_pdf), spark.createDataFrame(right_pdf)
+    with pytest.raises(ValueError, match="backward/forward/nearest"):
+        asof_join(l, r, on="key", left_ts="ts", right_ts="fts", direction="up")
+    with pytest.raises(ValueError, match="salted"):
+        asof_join(
+            l, r, on="key", left_ts="ts", right_ts="fts",
+            direction="forward", strategy="salted", bucket_size=60,
+        )
+    with pytest.raises(ValueError, match="union"):
+        asof_join(
+            l, r, on="key", left_ts="ts", right_ts="fts",
+            direction="nearest", strategy="broadcast",
+        )
+
+
+def test_asof_forward_union_one_shuffle(spark, left_pdf, right_pdf):
+    """forward keeps the union plan shape: ONE hash exchange on the key
+    for the window; nearest's two windows share the same exchange."""
+    l, r = spark.createDataFrame(left_pdf), spark.createDataFrame(right_pdf)
+    for direction in ("forward", "nearest"):
+        plan = (
+            asof_join(
+                l, r, on="key", left_ts="ts", right_ts="fts", direction=direction
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning(key") == 1, (direction, plan)
