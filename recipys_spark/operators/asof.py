@@ -266,16 +266,24 @@ def asof_join(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
 
-    def _in_tol(match, signed_diff):
+    def _in_tol(signed_diff):
         if tol is None:
             return F.lit(True)
         return signed_diff <= F.lit(tol)
+
+    # NULL left_ts: backward naturally yields no match (NULLS FIRST →
+    # empty preceding frame), but the FOLLOWING frame of the forward
+    # window would span the whole partition and fabricate a match where
+    # 'r_ts >= l_ts' is undefined — guard every forward candidate
+    null_ts_guard = F.col("__ts").isNotNull()
 
     if direction in ("backward", "forward"):
         if direction == "backward":
             matched = F.last(donor, ignorenulls=True).over(w_back)
         else:
-            matched = F.first(donor, ignorenulls=True).over(w_fwd)
+            matched = F.when(
+                null_ts_guard, F.first(donor, ignorenulls=True).over(w_fwd)
+            )
         filled = unioned.select("*", matched.alias("__match")).where(
             F.col(_SIDE) == 1
         )
@@ -283,9 +291,7 @@ def asof_join(
         m_n = _ts_num(F.col("__match")["__mts"], rt)
         diff = (ts_n - m_n) if direction == "backward" else (m_n - ts_n)
         vals = [
-            F.when(_in_tol(F.col("__match"), diff), F.col("__match")[c]).alias(
-                out_names[c]
-            )
+            F.when(_in_tol(diff), F.col("__match")[c]).alias(out_names[c])
             for c in value_cols
         ]
         return filled.select(*left.columns, *vals)
@@ -295,13 +301,15 @@ def asof_join(
     filled = unioned.select(
         "*",
         F.last(donor, ignorenulls=True).over(w_back).alias("__mb"),
-        F.first(donor, ignorenulls=True).over(w_fwd).alias("__mf"),
+        F.when(null_ts_guard, F.first(donor, ignorenulls=True).over(w_fwd)).alias(
+            "__mf"
+        ),
     ).where(F.col(_SIDE) == 1)
     ts_n = _ts_num(F.col("__ts"), lt)
     bd = ts_n - _ts_num(F.col("__mb")["__mts"], rt)
     fd = _ts_num(F.col("__mf")["__mts"], rt) - ts_n
-    b_ok = F.col("__mb").isNotNull() & _in_tol(F.col("__mb"), bd)
-    f_ok = F.col("__mf").isNotNull() & _in_tol(F.col("__mf"), fd)
+    b_ok = F.col("__mb").isNotNull() & _in_tol(bd)
+    f_ok = F.col("__mf").isNotNull() & _in_tol(fd)
     take_back = b_ok & (~f_ok | (bd <= fd))
     vals = [
         F.when(take_back, F.col("__mb")[c])

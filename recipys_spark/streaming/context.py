@@ -54,36 +54,41 @@ _OUT_SCHEMA = T.StructType(
 
 _STATE_SCHEMA = T.StructType(
     [
-        T.StructField("idxs", T.ArrayType(T.LongType())),
         T.StructField("toks", T.ArrayType(T.LongType())),
         T.StructField("texts", T.ArrayType(T.StringType())),
     ]
 )
 
 # the engine's whitespace tokenizer (functions/text.tokens) in Python:
-# Java \s is ASCII — mirror it exactly, NOT Python's Unicode \s
-# (CLAUDE.md invariant; NBSP must not split)
+# Java \s is ASCII — mirror it exactly, NOT Python's Unicode \s, and
+# mirror Spark's trim() too, which strips SPACES ONLY (str.strip()
+# would also eat \t\n\r and change the token count of 'hello\n':
+# batch 2, unicode-strip 1) (CLAUDE.md invariant; NBSP must not split)
 _WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _tok_count(text) -> int:
     if text is None:
         return 0  # the NULL-text contract of assemble_context
-    return len(_WS.split(text.strip().lower()))
+    return len(_WS.split(text.lower().strip(" ")))
 
 
-def _make_assembler(budget: int, max_turns: int, sep: str):
+def _make_assembler(budget: int, max_turns: int, sep: str, idle_timeout: bool):
     def assemble(key, batches: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
             state.remove()
             return
         if state.exists:
-            idxs, toks, texts = (list(v) for v in state.get)
+            toks, texts = (list(v) for v in state.get)
         else:
-            idxs, toks, texts = [], [], []
+            toks, texts = [], []
         (conv_id,) = key
-        for pdf in batches:
-            pdf = pdf.sort_values("turn_idx")
+        # a large group arrives as MULTIPLE Arrow chunks whose relative
+        # row order is arbitrary — concat and sort ONCE, or chunk 2's
+        # lower turn_idx values would be assembled after chunk 1's
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("turn_idx")
             out_rows = []
             for turn_idx, text in zip(pdf["turn_idx"], pdf["text"]):
                 # most-recent suffix of the retained tail under budget
@@ -106,20 +111,17 @@ def _make_assembler(budget: int, max_turns: int, sep: str):
                         total,
                     )
                 )
-                idxs.append(int(turn_idx))
                 toks.append(_tok_count(text))
                 texts.append(text)
-                if len(idxs) > max_turns:  # bound the state tail
-                    del idxs[0], toks[0], texts[0]
+                if len(toks) > max_turns:  # bound the state tail
+                    del toks[0], texts[0]
             yield pd.DataFrame(
                 out_rows,
                 columns=[f.name for f in _OUT_SCHEMA.fields],
             )
-        state.update((idxs, toks, texts))
-        try:
+        state.update((toks, texts))
+        if idle_timeout:
             state.setTimeoutDuration(_IDLE_TIMEOUT_MS)
-        except Exception:
-            pass  # NoTimeout mode: setting a duration is invalid
 
     return assemble
 
@@ -157,7 +159,7 @@ def streaming_assemble_context(
         stream["text"],
     )
     return sel.groupBy("conv_id").applyInPandasWithState(
-        _make_assembler(int(budget), int(max_turns), sep),
+        _make_assembler(int(budget), int(max_turns), sep, idle_timeout),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

@@ -75,11 +75,27 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _running_features(key, batches: Iterator[pd.DataFrame], state: GroupState):
+def _make_running_features(idle_timeout: bool):
+    def _running_features(
+        key, batches: Iterator[pd.DataFrame], state: GroupState
+    ):
+        return _running_features_impl(key, batches, state, idle_timeout)
+
+    return _running_features
+
+
+def _running_features_impl(
+    key, batches: Iterator[pd.DataFrame], state: GroupState, idle_timeout: bool
+):
     """Expanding mean/max/count carried across micro-batches in
     GroupState — fully vectorized pandas (no per-row Python, per the
     input_hint mandate): prior-state (sum, count, max) combines with
     in-batch cumulative aggregates.
+
+    A large group arrives as MULTIPLE Arrow chunks whose relative row
+    order is arbitrary — concat and sort ONCE before accumulating, or
+    a later chunk's earlier turns would fold into the running stats
+    after later ones.
 
     With an idle timeout configured, a conversation whose state times
     out is evicted (bounded state at billions of conversations); its
@@ -94,8 +110,12 @@ def _running_features(key, batches: Iterator[pd.DataFrame], state: GroupState):
         s0, c0, m0 = state.get
     else:
         s0, c0, m0 = 0.0, 0, None
-    for pdf in batches:
-        pdf = pdf.sort_values("turn_idx")
+    chunks = [pdf for pdf in batches if len(pdf)]
+    for pdf in (
+        [pd.concat(chunks, ignore_index=True).sort_values("turn_idx")]
+        if chunks
+        else []
+    ):
         v = pdf["value"]
         notna = v.notna()
         cnt = c0 + notna.cumsum()
@@ -119,10 +139,11 @@ def _running_features(key, batches: Iterator[pd.DataFrame], state: GroupState):
             if pd.notna(batch_max):
                 m0 = float(batch_max) if m0 is None else max(m0, float(batch_max))
     state.update((s0, c0, m0))
-    try:
+    if idle_timeout:
+        # only when armed: a swallowed failure here would silently
+        # disable the promised eviction, and calling it in NoTimeout
+        # mode is an error by contract
         state.setTimeoutDuration(_IDLE_TIMEOUT_MS)
-    except Exception:
-        pass  # NoTimeout mode: setting a duration is invalid
 
 
 _IDLE_TIMEOUT_MS = 6 * 3600 * 1000  # eviction after 6 h idle (when enabled)
@@ -144,7 +165,7 @@ def streaming_running_features(
         else GroupStateTimeout.NoTimeout
     )
     return stream.groupBy("conv_id").applyInPandasWithState(
-        _running_features,
+        _make_running_features(idle_timeout),
         outputStructType=_RUNNING_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

@@ -329,3 +329,27 @@ def test_asof_forward_union_one_shuffle(spark, left_pdf, right_pdf):
             .toString()
         )
         assert plan.count("Exchange hashpartitioning(key") == 1, (direction, plan)
+
+
+def test_asof_null_left_ts_never_matches(spark):
+    """Review fix: a NULL left timestamp must yield NULL in EVERY
+    direction — the forward window's following frame used to span the
+    whole partition and fabricate a match."""
+    left = pd.DataFrame(
+        {"key": ["a", "a"], "ts": [pd.NaT, _ts(2)], "payload": [1, 2]}
+    )
+    right = pd.DataFrame({"key": ["a"], "fts": [_ts(3)], "feat": [10.0]})
+    for direction in ("backward", "forward", "nearest"):
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on="key",
+                left_ts="ts",
+                right_ts="fts",
+                direction=direction,
+            )
+            .toPandas()
+            .set_index("payload")
+        )
+        assert pd.isna(got.loc[1, "feat"]), direction

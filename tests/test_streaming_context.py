@@ -124,3 +124,96 @@ def test_streaming_requires_finite_max_turns(spark, tr_dir):
     stream = spark.readStream.schema(batch.schema).parquet(tr_dir)
     with pytest.raises(ValueError, match="max_turns"):
         streaming_assemble_context(stream, budget=10, max_turns=None)
+
+
+def test_trailing_whitespace_token_parity(spark, tmp_path):
+    """Review fix: Spark trim() strips SPACES only; Python str.strip()
+    also eats \\t\\n — 'hello\\n' counts 2 batch tokens and must count 2
+    in the stream too or budgets drift."""
+    import pandas as pd
+
+    feed = str(tmp_path / "trail")
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["t"] * 3,
+            "turn_idx": [0, 1, 2],
+            "text": ["hello\n", "a\tb ", "end"],
+        }
+    )
+    batch = spark.createDataFrame(pdf)
+    batch.write.parquet(feed)
+    stream = spark.readStream.schema(batch.schema).parquet(feed)
+    out = _run(
+        spark,
+        streaming_assemble_context(stream, budget=100, max_turns=8),
+        "ctx_trail",
+    )
+    got = sorted(map(tuple, out.collect()))
+    exp = sorted(
+        (
+            r["conv_id"],
+            int(r["turn_idx"]),
+            r["text"],
+            r["context"],
+            int(r["context_n_turns"]),
+            int(r["context_n_tokens"]),
+        )
+        for r in assemble_context(batch, budget=100, max_turns=8)
+        .select(
+            "conv_id", "turn_idx", "text", "context",
+            "context_n_turns", "context_n_tokens",
+        )
+        .collect()
+    )
+    assert got == exp
+
+
+def test_multi_chunk_group_ordering(spark, tmp_path):
+    """Review fix: a group larger than the Arrow batch size arrives as
+    several chunks in arbitrary row order — the assembler must concat
+    and sort ONCE, not per chunk."""
+    import pandas as pd
+
+    rng = __import__("random").Random(7)
+    n = 60
+    order = list(range(n))
+    rng.shuffle(order)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["big"] * n,
+            "turn_idx": order,  # shuffled row order in the file
+            "text": [f"turn {i} words here" for i in order],
+        }
+    )
+    feed = str(tmp_path / "chunks")
+    batch = spark.createDataFrame(pdf).coalesce(1)
+    batch.write.parquet(feed)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = spark.readStream.schema(batch.schema).parquet(feed)
+        out = _run(
+            spark,
+            streaming_assemble_context(stream, budget=12, max_turns=4),
+            "ctx_chunks",
+        )
+        got = sorted(map(tuple, out.collect()))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    exp = sorted(
+        (
+            r["conv_id"],
+            int(r["turn_idx"]),
+            r["text"],
+            r["context"],
+            int(r["context_n_turns"]),
+            int(r["context_n_tokens"]),
+        )
+        for r in assemble_context(spark.createDataFrame(pdf), budget=12, max_turns=4)
+        .select(
+            "conv_id", "turn_idx", "text", "context",
+            "context_n_turns", "context_n_tokens",
+        )
+        .collect()
+    )
+    assert got == exp
