@@ -209,3 +209,87 @@ def test_null_text_contract(spark):
     assert out[2]["context_n_tokens"] == 2
     conv = conversation_text(df).collect()[0]
     assert conv["text"] == "alpha beta\n\ngamma" and conv["n_turns"] == 3
+
+
+# -- property-based: random transcripts vs the per-row reference ------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _transcripts(draw):
+    n_convs = draw(st.integers(min_value=1, max_value=3))
+    rows = []
+    for c in range(n_convs):
+        n_turns = draw(st.integers(min_value=1, max_value=10))
+        for t in range(n_turns):
+            n_words = draw(st.integers(min_value=0, max_value=5))
+            # 0 words -> '' (tokenizes to 1, the split quirk both
+            # engines share); occasional NULL text
+            text = (
+                None
+                if draw(st.booleans()) and draw(st.booleans())
+                else " ".join(f"c{c}t{t}w{k}" for k in range(n_words))
+            )
+            rows.append((f"c{c}", t, text))
+    budget = draw(st.integers(min_value=0, max_value=12))
+    max_turns = draw(st.one_of(st.none(), st.integers(min_value=1, max_value=4)))
+    return rows, budget, max_turns
+
+
+def _reference_nulls(rows, budget, max_turns):
+    """The _reference oracle extended with the NULL contract: NULL
+    counts 0 tokens and joins as ''."""
+    from collections import defaultdict
+
+    by_conv = defaultdict(list)
+    for conv, turn, text in rows:
+        by_conv[conv].append((turn, text))
+    out = {}
+    for conv, turns in by_conv.items():
+        turns.sort()
+        toks = [0 if t is None else _ws_tokens(t) for _, t in turns]
+        for i, (turn, _) in enumerate(turns):
+            kept = []
+            total = 0
+            for j in range(i - 1, -1, -1):
+                if max_turns is not None and (i - j) > max_turns:
+                    break
+                if total + toks[j] > budget:
+                    break
+                kept.append(j)
+                total += toks[j]
+            kept.reverse()
+            out[(conv, turn)] = (
+                "\n".join(
+                    "" if turns[j][1] is None else turns[j][1] for j in kept
+                ),
+                len(kept),
+                total,
+            )
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_transcripts())
+def test_property_random_transcripts(spark, case):
+    rows, budget, max_turns = case
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    df = spark.createDataFrame(pdf)
+    got = assemble_context(df, budget=budget, max_turns=max_turns).collect()
+    ref = _reference_nulls(rows, budget, max_turns)
+    assert len(got) == len(rows)
+    for r in got:
+        ctx, n, tok = ref[(r["conv_id"], r["turn_idx"])]
+        assert (r["context"], r["context_n_turns"], r["context_n_tokens"]) == (
+            ctx,
+            n,
+            tok,
+        ), (r["conv_id"], r["turn_idx"], budget, max_turns)
