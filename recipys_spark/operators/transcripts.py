@@ -53,6 +53,8 @@ def assemble_context(
     sep: str = "\n",
     max_turns: Optional[int] = 64,
     out_col: str = "context",
+    skew_bucket_size: Optional[int] = None,
+    rows_per_bucket: int = 100_000,
 ) -> DataFrame:
     """Append per-turn context columns, point-in-time correct:
 
@@ -73,26 +75,89 @@ def assemble_context(
     positions stay reconstructible). Without this, one NULL token count
     would make the retention predicate NULL and silently EMPTY every
     context that window touches.
+
+    ``skew_bucket_size`` (sequence units, the functions/skew.py
+    convention) switches to the SALTED two-phase plan for monster
+    conversations: the plain plan's per-row state is bounded, but the
+    whole conversation still sorts through ONE window task. The salted
+    plan row-buckets each conversation (decomposable row number),
+    copies each bucket the previous bucket's last ``max_turns`` rows as
+    carry donors, runs the identical window expressions per
+    (conv, bucket) —
+    the retention predicate only reads cum DIFFERENCES, so local
+    per-bucket running sums are offset-free — and drops the carry
+    rows. Bit-identical to the plain plan (pytest-pinned); requires a
+    finite ``max_turns`` (the carry bound) and a single order column.
     """
     if budget < 0:
         raise ValueError("budget must be >= 0")
     if max_turns is not None and max_turns < 1:
         raise ValueError("max_turns must be >= 1 (or None for unbounded)")
+    if skew_bucket_size is not None:
+        if max_turns is None:
+            raise ValueError(
+                "the salted plan needs a finite max_turns (it bounds the "
+                "carry rows each bucket copies)"
+            )
+        if len(list(order_cols)) != 1:
+            raise ValueError("the salted plan supports a single order column")
+        if rows_per_bucket < int(max_turns):
+            raise ValueError("rows_per_bucket must be >= max_turns")
     order = list(order_cols)
     tok = "__ctx_tok"
     cum = "__ctx_cum"
-    run = (
-        Window.partitionBy(conv_col)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    lo = Window.unboundedPreceding if max_turns is None else -int(max_turns)
-    prior = Window.partitionBy(conv_col).orderBy(*order).rowsBetween(lo, -1)
+    base_cols = list(df.columns)
     safe_tok = F.when(
         F.col(text_col).isNull(), F.lit(0).cast("long")
     ).otherwise(token_count(F.col(text_col)).cast("long"))
-    base = df.withColumn(tok, safe_tok)
-    base = base.withColumn(cum, F.sum(tok).over(run))
+    frame = df.withColumn(tok, safe_tok)
+
+    if skew_bucket_size is None:
+        run = (
+            Window.partitionBy(conv_col)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        lo = Window.unboundedPreceding if max_turns is None else -int(max_turns)
+        prior = (
+            Window.partitionBy(conv_col).orderBy(*order).rowsBetween(lo, -1)
+        )
+        keep_pred = None
+    else:
+        from recipys_spark.functions.skew import salted_row_number
+
+        mt = int(max_turns)
+        with_rid = salted_row_number(
+            frame, [conv_col], order[0], int(skew_bucket_size)
+        )
+        # integer `div`, not double `/` + cast (exact at any row id —
+        # the pack_sequences lesson)
+        rbkt = F.expr(f"(__rid - 1) div {int(rows_per_bucket)}")
+        pos = (F.col("__rid") - 1) % F.lit(int(rows_per_bucket))
+        tagged = with_rid.withColumn("__rbkt", rbkt).withColumn("__pos", pos)
+        own = tagged.withColumn("__carry", F.lit(0))
+        carry = (
+            tagged.where(F.col("__pos") >= F.lit(int(rows_per_bucket) - mt))
+            .withColumn("__rbkt", F.col("__rbkt") + 1)
+            .withColumn("__carry", F.lit(1))
+        )
+        frame = own.unionByName(carry)
+        # local running sum per (conv, bucket): the retention predicate
+        # only reads cum DIFFERENCES of rows <= max_turns apart, which
+        # always share a (bucket + carry) partition — offsets cancel
+        run = (
+            Window.partitionBy(conv_col, "__rbkt")
+            .orderBy("__rid")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        prior = (
+            Window.partitionBy(conv_col, "__rbkt")
+            .orderBy("__rid")
+            .rowsBetween(-mt, -1)
+        )
+        keep_pred = F.col("__carry") == 0
+
+    frame = frame.withColumn(cum, F.sum(tok).over(run))
     arr = F.collect_list(
         F.struct(
             F.col(cum).alias("c"),
@@ -101,17 +166,26 @@ def assemble_context(
         )
     ).over(prior)
     prior_cum = F.col(cum) - F.col(tok)  # running total through turn t-1
-    kept = F.filter(arr, lambda s: (prior_cum - (s["c"] - s["t"])) <= F.lit(int(budget)))
+    kept = F.filter(
+        arr, lambda s: (prior_cum - (s["c"] - s["t"])) <= F.lit(int(budget))
+    )
     ctx = F.array_join(F.transform(kept, lambda s: s["x"]), sep)
     n_turns = F.size(kept).cast("long")
     n_tokens = F.aggregate(
         kept, F.lit(0).cast("long"), lambda acc, s: acc + s["t"]
     )
-    return (
-        base.withColumn(out_col, ctx)
+    out = (
+        frame.withColumn(out_col, ctx)
         .withColumn(f"{out_col}_n_turns", n_turns)
         .withColumn(f"{out_col}_n_tokens", n_tokens)
-        .drop(tok, cum)
+    )
+    if keep_pred is not None:
+        out = out.where(keep_pred)
+    return out.select(
+        *base_cols,
+        out_col,
+        f"{out_col}_n_turns",
+        f"{out_col}_n_tokens",
     )
 
 
@@ -164,6 +238,7 @@ class StepAssembleContext(Step):
         max_turns: Optional[int] = 64,
         out_col: str = "context",
         role: str = "predictor",
+        skew_bucket_size: Optional[int] = None,
     ) -> None:
         super().__init__(sel)
         if budget < 0:
@@ -173,6 +248,10 @@ class StepAssembleContext(Step):
         self.max_turns = max_turns
         self.out_col = out_col
         self.role = role
+        # skew-capable (the auto_skew discovery attribute): when set,
+        # the salted two-phase plan spreads a monster conversation
+        # across buckets instead of one window task
+        self.skew_bucket_size = skew_bucket_size
         # NOT pre-trained: fit() must still run once to resolve the
         # selector and the group/sequence roles (do_fit itself is a
         # no-op — there is no fitted state, so bake ≡ prep)
@@ -205,6 +284,14 @@ class StepAssembleContext(Step):
         conv = self.group_columns
         if len(conv) != 1:
             raise ValueError("StepAssembleContext supports one group column")
+        skew = self.skew_bucket_size
+        if skew is not None and (
+            self.max_turns is None or len(self.sequence_columns) != 1
+        ):
+            # auto_skew may assign a bucket to any skew-capable step;
+            # fall back to the plain plan where the salted one can't
+            # apply rather than failing the recipe
+            skew = None
         return assemble_context(
             ingredients.df,
             budget=self.budget,
@@ -214,6 +301,7 @@ class StepAssembleContext(Step):
             sep=self.sep,
             max_turns=self.max_turns,
             out_col=self.out_col,
+            skew_bucket_size=skew,
         )
 
     def get_state(self) -> dict:

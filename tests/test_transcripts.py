@@ -293,3 +293,72 @@ def test_property_random_transcripts(spark, case):
             n,
             tok,
         ), (r["conv_id"], r["turn_idx"], budget, max_turns)
+
+
+# -- salted two-phase plan (skew escape hatch) ------------------------------
+
+
+def test_salted_equals_plain_on_skewed_transcripts(spark):
+    """The bucketed plan (row-exact buckets + max_turns carry rows)
+    must be BIT-identical to the plain single-window plan — including
+    across bucket boundaries, where the carry rows supply the prior
+    frame and the local cum offsets cancel."""
+    tr = synthetic_transcripts(spark, n_convs=30, skew=True, skew_factor=40)
+    key = lambda r: (r["conv_id"], r["turn_idx"])
+    plain = sorted(
+        (
+            (key(r), r["context"], r["context_n_turns"], r["context_n_tokens"])
+            for r in assemble_context(tr, budget=25, max_turns=6).collect()
+        )
+    )
+    for rows_per_bucket in (16, 64):
+        salted = sorted(
+            (
+                (key(r), r["context"], r["context_n_turns"], r["context_n_tokens"])
+                for r in assemble_context(
+                    tr,
+                    budget=25,
+                    max_turns=6,
+                    skew_bucket_size=50,
+                    rows_per_bucket=rows_per_bucket,
+                ).collect()
+            )
+        )
+        assert salted == plain, rows_per_bucket
+
+
+def test_salted_guards(spark, tr_rows):
+    df = spark.createDataFrame(tr_rows, ["conv_id", "turn_idx", "text"])
+    with pytest.raises(ValueError, match="finite max_turns"):
+        assemble_context(df, budget=5, max_turns=None, skew_bucket_size=10)
+    with pytest.raises(ValueError, match="rows_per_bucket"):
+        assemble_context(
+            df, budget=5, max_turns=8, skew_bucket_size=10, rows_per_bucket=4
+        )
+
+
+def test_step_salted_and_auto_skew_fallback(spark, tr_rows):
+    df = spark.createDataFrame(tr_rows, ["conv_id", "turn_idx", "text"])
+    # explicit bucket through the step
+    rec = Recipe(df, predictors=["text"], groups="conv_id", sequences="turn_idx")
+    rec.add_step(
+        StepAssembleContext(sel=all_of(["text"]), budget=6, skew_bucket_size=4)
+    )
+    salted = sorted(
+        (r["conv_id"], r["turn_idx"], r["context"]) for r in rec.prep().collect()
+    )
+    ref = _reference(tr_rows, 6, 64)
+    for conv, turn, ctx in salted:
+        assert ctx == ref[(conv, turn)][0]
+    # unbounded max_turns + auto-assigned bucket: falls back to the
+    # plain plan instead of failing the recipe
+    rec2 = Recipe(df, predictors=["text"], groups="conv_id", sequences="turn_idx")
+    step = StepAssembleContext(
+        sel=all_of(["text"]), budget=6, max_turns=None, skew_bucket_size=4
+    )
+    rec2.add_step(step)
+    out = rec2.prep().collect()
+    for r in out:
+        assert r["context"] == _reference(tr_rows, 6, None)[
+            (r["conv_id"], r["turn_idx"])
+        ][0]
