@@ -37,6 +37,22 @@ from recipys_spark.operators.base import Accumulator
 from recipys_spark.functions.deterministic import DEC as _DEC
 
 _BUCKET = "__skew_bucket"
+_GKEY = "__skew_gkey"
+
+
+def _ns_join(left: DataFrame, right: DataFrame, groups, extra, how="left"):
+    """NULL-safe equi-join on the group keys (+ ``extra`` columns).
+
+    A plain column-list join drops/misses rows whose group key is NULL
+    (SQL equality), but the plain ``Window.partitionBy`` the salted
+    plans must replicate treats NULL as a regular group value. Struct
+    equality in Spark DOES match NULL fields, so the group columns are
+    wrapped into one struct key for the join; the right frame's copies
+    of the group columns are dropped."""
+    groups = list(groups)
+    l = left.withColumn(_GKEY, F.struct(*groups))
+    r = right.withColumn(_GKEY, F.struct(*groups)).drop(*groups)
+    return l.join(r, on=[_GKEY, *extra], how=how).drop(_GKEY)
 
 
 def _bucket_expr(df: DataFrame, sequence: str, bucket_size: int):
@@ -132,7 +148,7 @@ def salted_expanding(
             prefix_exprs.append(F.sum(field).over(prior).alias(name))
     prefix = totals.select(*prefix_exprs)
 
-    joined = with_run.join(prefix, on=[*groups, _BUCKET], how="left")
+    joined = _ns_join(with_run, prefix, groups, [_BUCKET], how="left")
 
     # phase 3: merge prefix ⊕ running
     out_exprs = []
@@ -282,7 +298,7 @@ def salted_fill(
             for c in cols
         ],
     )
-    joined = filled.join(prefix, on=[*groups, _BUCKET], how="left")
+    joined = _ns_join(filled, prefix, groups, [_BUCKET], how="left")
 
     def result(c: str):
         donor = F.coalesce(F.col(f"__d_{c}"), F.col(f"__pre_{c}"))
@@ -346,7 +362,7 @@ def salted_sessionize(
         *groups, _BUCKET, intra_flag.alias("__flag")
     ).groupBy(*groups, _BUCKET).agg(F.sum("__flag").alias("__intra_sum"))
     buckets = (
-        totals.join(row_flags, [*groups, _BUCKET])
+        _ns_join(totals, row_flags, groups, [_BUCKET], how="inner")
         .select(
             *groups,
             F.col(_BUCKET),
@@ -372,7 +388,7 @@ def salted_sessionize(
     frame = Window.partitionBy(*groups, _BUCKET).orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    joined = df.join(prefix, on=[*groups, _BUCKET], how="left")
+    joined = _ns_join(df, prefix, groups, [_BUCKET], how="left")
     intra_cum = F.coalesce(F.sum(intra_flag).over(frame), F.lit(0))
     session = (
         F.col("__pre_sessions") + F.col("__boundary_flag") + intra_cum - F.lit(1)
@@ -405,7 +421,7 @@ def salted_row_number(
         F.coalesce(F.sum("__n").over(prior), F.lit(0)).alias("__pre_n"),
     )
     return (
-        df.join(prefix, [*groups, _BUCKET])
+        _ns_join(df, prefix, groups, [_BUCKET], how="inner")
         .withColumn(out_col, F.col("__pre_n") + F.row_number().over(intra))
         .drop("__pre_n", _BUCKET)
     )
@@ -436,7 +452,7 @@ def salted_lag(
             (F.col("__rid") + F.lit(shift)).alias("__rid"),
             *[F.col(c).alias(f"__d_{c}_{k}") for c in cols],
         )
-        out = out.join(donor, [*groups, "__rid"], "left")
+        out = _ns_join(out, donor, groups, ["__rid"], how="left")
     return out.select(
         *base_cols,
         *[
@@ -477,7 +493,7 @@ def salted_trailing(
     groups = list(groups)
     base_cols = list(df.columns)
     with_rid = salted_row_number(df, groups, sequence, bucket_size)
-    rbkt = ((F.col("__rid") - 1) / F.lit(rows_per_bucket)).cast("long")
+    rbkt = F.expr(f"(__rid - 1) div {int(rows_per_bucket)}")
     pos = (F.col("__rid") - 1) % F.lit(rows_per_bucket)
     tagged = with_rid.withColumn("__rbkt", rbkt).withColumn("__pos", pos)
     own = tagged.withColumn("__carry", F.lit(0))

@@ -93,6 +93,13 @@ def assemble_context(
         raise ValueError("budget must be >= 0")
     if max_turns is not None and max_turns < 1:
         raise ValueError("max_turns must be >= 1 (or None for unbounded)")
+    out_cols = [out_col, f"{out_col}_n_turns", f"{out_col}_n_tokens"]
+    collisions = sorted(set(out_cols) & set(df.columns))
+    if collisions:
+        raise ValueError(
+            f"context output column(s) {collisions} already exist in the "
+            "input; pass a different out_col"
+        )
     if skew_bucket_size is not None:
         if max_turns is None:
             raise ValueError(
@@ -103,6 +110,17 @@ def assemble_context(
             raise ValueError("the salted plan supports a single order column")
         if rows_per_bucket < int(max_turns):
             raise ValueError("rows_per_bucket must be >= max_turns")
+        seq_dtype = dict(df.dtypes)[list(order_cols)[0]]
+        if seq_dtype not in (
+            "timestamp",
+            "timestamp_ntz",
+            "date",
+        ) and not seq_dtype.startswith(("int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "long")):
+            raise ValueError(
+                "the salted plan buckets by the order column numerically; "
+                f"order column dtype {seq_dtype!r} has no numeric bucket "
+                "form (the plain plan sorts any orderable type)"
+            )
     order = list(order_cols)
     tok = "__ctx_tok"
     cum = "__ctx_cum"
@@ -239,6 +257,7 @@ class StepAssembleContext(Step):
         out_col: str = "context",
         role: str = "predictor",
         skew_bucket_size: Optional[int] = None,
+        rows_per_bucket: int = 100_000,
     ) -> None:
         super().__init__(sel)
         if budget < 0:
@@ -252,6 +271,7 @@ class StepAssembleContext(Step):
         # the salted two-phase plan spreads a monster conversation
         # across buckets instead of one window task
         self.skew_bucket_size = skew_bucket_size
+        self.rows_per_bucket = int(rows_per_bucket)
         # NOT pre-trained: fit() must still run once to resolve the
         # selector and the group/sequence roles (do_fit itself is a
         # no-op — there is no fitted state, so bake ≡ prep)
@@ -286,11 +306,15 @@ class StepAssembleContext(Step):
             raise ValueError("StepAssembleContext supports one group column")
         skew = self.skew_bucket_size
         if skew is not None and (
-            self.max_turns is None or len(self.sequence_columns) != 1
+            self.max_turns is None
+            or len(self.sequence_columns) != 1
+            or int(self.max_turns) > self.rows_per_bucket
         ):
             # auto_skew may assign a bucket to any skew-capable step;
             # fall back to the plain plan where the salted one can't
-            # apply rather than failing the recipe
+            # apply (unbounded max_turns, multi-column order, or a
+            # max_turns larger than the bucket carry) rather than
+            # failing the recipe
             skew = None
         return assemble_context(
             ingredients.df,
@@ -302,6 +326,7 @@ class StepAssembleContext(Step):
             max_turns=self.max_turns,
             out_col=self.out_col,
             skew_bucket_size=skew,
+            rows_per_bucket=self.rows_per_bucket,
         )
 
     def get_state(self) -> dict:
@@ -311,6 +336,8 @@ class StepAssembleContext(Step):
             "sep": self.sep,
             "max_turns": self.max_turns,
             "out_col": self.out_col,
+            "skew_bucket_size": self.skew_bucket_size,
+            "rows_per_bucket": self.rows_per_bucket,
         }
 
     def set_state(self, state: dict) -> None:
@@ -319,4 +346,7 @@ class StepAssembleContext(Step):
         self.sep = state["sep"]
         self.max_turns = state["max_turns"]
         self.out_col = state["out_col"]
+        # older manifests (pre-round-5 review) lack the skew fields
+        self.skew_bucket_size = state.get("skew_bucket_size")
+        self.rows_per_bucket = state.get("rows_per_bucket", 100_000)
         self._trained = True

@@ -221,9 +221,17 @@ class Recipe:
             ingredients.df, groups, seqs[0],
             salt_above_rows=self.AUTO_SKEW_ROLLING_SALT_ABOVE, stats=stats,
         )
+        from recipys_spark.operators.transcripts import StepAssembleContext
+
         for s in configurable:
+            # bounded trailing frames (StepRolling, context assembly:
+            # O(frame) state per row in one sorted task) only win from
+            # salting past the ROLLING crossover (~10^8 rows, BENCH.md);
+            # unbounded expanding/fill windows salt at the lower
+            # window threshold
+            bounded_frame = isinstance(s, (StepRolling, StepAssembleContext))
             s.skew_bucket_size = (
-                rolling_bucket if isinstance(s, StepRolling) else window_bucket
+                rolling_bucket if bounded_frame else window_bucket
             )
             s._auto_skew_assigned = True
         return stats

@@ -555,3 +555,70 @@ def test_prep_without_auto_skew_resets_stale_auto_buckets(spark):
     step.skew_bucket_size = 777
     rec.prep(small, refit=True)
     assert step.skew_bucket_size == 777
+
+
+def test_salted_family_keeps_null_group_rows(spark):
+    """Review fix (round 5): every salted-plan join now matches NULL
+    group keys via a struct key (_ns_join) — a NULL conv_id row used to
+    lose its cross-bucket carry (left-join prefix misses) or vanish
+    entirely (row-number inner join), while the plain windows treat
+    NULL as a regular group. Pin salted ≡ plain on a frame whose
+    largest group IS the NULL group."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from recipys_spark.functions.skew import (
+        salted_expanding,
+        salted_ffill,
+        salted_row_number,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((None, i, float(i) if i % 3 else None))
+    for i in range(5):
+        rows.append(("a", i, float(10 * i)))
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    salted_mean = salted_expanding(
+        df, ["value"], ["conv_id"], "turn_idx", Accumulator.MEAN, "m", 8
+    )
+    assert salted_mean.count() == len(rows)  # no dropped NULL-group rows
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["value_m"] for r in salted_mean.collect()
+    }
+    # independent per-row oracle for the NULL group
+    vals = [v for _, i, v in rows[:40]]
+    run, n = 0.0, 0
+    for i, v in enumerate(vals):
+        if v is not None:
+            run += v
+            n += 1
+        expect = run / n if n else None
+        if expect is None:
+            assert got[(None, i)] is None
+        else:
+            assert got[(None, i)] == pytest.approx(expect)
+    # row numbers: contiguous 1..40 within the NULL group
+    rid = salted_row_number(df, ["conv_id"], "turn_idx", 8)
+    null_rids = sorted(
+        r["__rid"] for r in rid.where(F.col("conv_id").isNull()).collect()
+    )
+    assert null_rids == list(range(1, 41))
+    # ffill carries across buckets inside the NULL group too
+    filled = salted_ffill(df, ["value"], ["conv_id"], "turn_idx", 8)
+    fv = {
+        (r["conv_id"], r["turn_idx"]): r["value"] for r in filled.collect()
+    }
+    last = None
+    for i, v in enumerate(vals):
+        last = v if v is not None else last
+        assert fv[(None, i)] == (pytest.approx(last) if last is not None else None)

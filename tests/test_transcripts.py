@@ -283,16 +283,29 @@ def test_property_random_transcripts(spark, case):
 
     pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
     df = spark.createDataFrame(pdf)
-    got = assemble_context(df, budget=budget, max_turns=max_turns).collect()
     ref = _reference_nulls(rows, budget, max_turns)
-    assert len(got) == len(rows)
-    for r in got:
-        ctx, n, tok = ref[(r["conv_id"], r["turn_idx"])]
-        assert (r["context"], r["context_n_turns"], r["context_n_tokens"]) == (
-            ctx,
-            n,
-            tok,
-        ), (r["conv_id"], r["turn_idx"], budget, max_turns)
+    outs = [assemble_context(df, budget=budget, max_turns=max_turns).collect()]
+    if max_turns is not None:
+        # salted plan must agree everywhere the property sweep goes —
+        # NULL texts at bucket boundaries, budget 0, single-row convs
+        outs.append(
+            assemble_context(
+                df,
+                budget=budget,
+                max_turns=max_turns,
+                skew_bucket_size=3,
+                rows_per_bucket=max(max_turns, 2),
+            ).collect()
+        )
+    for got in outs:
+        assert len(got) == len(rows)
+        for r in got:
+            ctx, n, tok = ref[(r["conv_id"], r["turn_idx"])]
+            assert (
+                r["context"],
+                r["context_n_turns"],
+                r["context_n_tokens"],
+            ) == (ctx, n, tok), (r["conv_id"], r["turn_idx"], budget, max_turns)
 
 
 # -- salted two-phase plan (skew escape hatch) ------------------------------
@@ -362,3 +375,95 @@ def test_step_salted_and_auto_skew_fallback(spark, tr_rows):
         assert r["context"] == _reference(tr_rows, 6, None)[
             (r["conv_id"], r["turn_idx"])
         ][0]
+
+
+def test_salted_keeps_null_conv_rows(spark):
+    """Review fix: the salted plan's row-number join must be NULL-safe
+    — a NULL conv_id row used to vanish from the salted output while
+    the plain window kept it (row_preserving violation)."""
+    rows = [
+        ("a", 0, "one two"),
+        ("a", 1, "three"),
+        (None, 0, "lonely words"),
+        (None, 1, "more text"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    key = lambda r: (r["conv_id"], r["turn_idx"])
+    plain = sorted(
+        (
+            (key(r), r["context"])
+            for r in assemble_context(df, budget=10, max_turns=4).collect()
+        ),
+        key=str,
+    )
+    salted = sorted(
+        (
+            (key(r), r["context"])
+            for r in assemble_context(
+                df, budget=10, max_turns=4, skew_bucket_size=2, rows_per_bucket=4
+            ).collect()
+        ),
+        key=str,
+    )
+    assert len(salted) == len(rows)
+    assert salted == plain
+    got = dict(salted)
+    assert got[(None, 1)] == "lonely words"
+
+
+def test_out_col_collision_raises(spark, tr_rows):
+    df = spark.createDataFrame(tr_rows, ["conv_id", "turn_idx", "text"]).withColumn(
+        "context", F.lit("x")
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        assemble_context(df, budget=5)
+
+
+def test_salted_rejects_string_order_column(spark):
+    rows = [("a", "t0", "one"), ("a", "t1", "two")]
+    df = spark.createDataFrame(rows, ["conv_id", "ord", "text"])
+    with pytest.raises(ValueError, match="numeric"):
+        assemble_context(
+            df, budget=5, order_cols=("ord",), skew_bucket_size=2
+        )
+    # the plain plan sorts any orderable type
+    out = assemble_context(df, budget=5, order_cols=("ord",))
+    assert out.count() == 2
+
+
+def test_step_fallback_when_max_turns_exceeds_bucket(spark, tr_rows):
+    """Review fix: an auto-assigned bucket with max_turns >
+    rows_per_bucket must fall back to the plain plan, not raise."""
+    df = spark.createDataFrame(tr_rows, ["conv_id", "turn_idx", "text"])
+    rec = Recipe(df, predictors=["text"], groups="conv_id", sequences="turn_idx")
+    rec.add_step(
+        StepAssembleContext(
+            sel=all_of(["text"]), budget=6, max_turns=200_000,
+            skew_bucket_size=4, rows_per_bucket=100,
+        )
+    )
+    out = rec.prep()
+    ref = _reference(tr_rows, 6, 200_000)
+    for r in out.collect():
+        assert r["context"] == ref[(r["conv_id"], r["turn_idx"])][0]
+
+
+def test_step_state_roundtrip_keeps_skew_config(spark, tr_rows):
+    """Review fix: save/load must persist the skew configuration — a
+    reloaded recipe silently ran the plain plan on the data the bucket
+    was chosen for."""
+    import json
+
+    s = StepAssembleContext(
+        sel=all_of(["text"]), budget=6, skew_bucket_size=500, rows_per_bucket=64
+    )
+    s.columns = ["text"]
+    state = json.loads(json.dumps(s.get_state()))
+    s2 = StepAssembleContext(sel=all_of(["text"]), budget=1)
+    s2.set_state(state)
+    assert s2.skew_bucket_size == 500 and s2.rows_per_bucket == 64
+    # older manifests without the fields still load
+    legacy = {k: v for k, v in state.items() if "bucket" not in k}
+    s3 = StepAssembleContext(sel=all_of(["text"]), budget=1)
+    s3.set_state(legacy)
+    assert s3.skew_bucket_size is None and s3.rows_per_bucket == 100_000
