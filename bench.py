@@ -113,23 +113,31 @@ def _walls(make_df, repeats: int) -> list:
     return sorted(walls)
 
 
-def median_time(make_df, repeats: int = REPEATS) -> float:
-    """Median of `repeats` timed noop materializations; the plan is
-    rebuilt per run so fit jobs (fitted steps re-aggregate) are charged
-    consistently every time."""
-    walls = _walls(make_df, repeats)
-    return walls[len(walls) // 2]
+def band(walls: list) -> list:
+    """[min, median, max] of the sorted walls — the in-artifact variance
+    band (VERDICT r5 #1): on this host-overcommitted VM identical code
+    has measured 0.7–2.2 s across windows, so a point estimate cannot
+    distinguish a regression from a CPU-steal episode. The band makes
+    the pathology visible INSIDE the JSON line the driver records."""
+    return [round(walls[0], 3), round(walls[len(walls) // 2], 3), round(walls[-1], 3)]
 
 
-def best_time(make_df, repeats: int) -> float:
-    """Min of `repeats` runs — the steady-state estimator for LONG jobs
-    on this host-overcommitted VM, same rationale as the scaling bench
-    (bench_scaling.py): hypervisor CPU-steal episodes are one-sided and
-    can outlast a whole median window (observed: the identical bake at
-    13.4 s and 194 s within one session, steal ~1% between episodes).
-    Short per-query timings keep the median; the multi-ten-second bake
-    takes the min."""
-    return _walls(make_df, repeats)[0]
+def median_time(make_df, repeats: int = REPEATS) -> list:
+    """Sorted walls of `repeats` timed noop materializations; the plan
+    is rebuilt per run so fit jobs (fitted steps re-aggregate) are
+    charged consistently every time. Headline scalar = the median."""
+    return _walls(make_df, repeats)
+
+
+def best_time(make_df, repeats: int) -> list:
+    """Sorted walls — headline scalar = the MIN, the steady-state
+    estimator for LONG jobs on this host-overcommitted VM, same
+    rationale as the scaling bench (bench_scaling.py): hypervisor
+    CPU-steal episodes are one-sided and can outlast a whole median
+    window (observed: the identical bake at 13.4 s and 194 s within one
+    session, steal ~1% between episodes). Short per-query timings keep
+    the median; the multi-ten-second bake takes the min."""
+    return _walls(make_df, repeats)
 
 
 def bake_recipe(df):
@@ -157,15 +165,20 @@ def main() -> None:
                       shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup so the first timed query isn't charged for it
+    # JVM/codegen warmup so the first timed query isn't charged for it;
+    # its wall goes into the JSON — a slow warmup flags a bad host
+    # window for the whole artifact
+    t0 = time.time()
     materialize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    warmup_sec = round(time.time() - t0, 3)
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+    bands: dict[str, list] = {}
     for name in HEADLINE:
-        timings[name] = round(
-            median_time(lambda: queries[name](spark, sf_dir)), 3
-        )
+        walls = median_time(lambda: queries[name](spark, sf_dir))
+        timings[name] = round(walls[len(walls) // 2], 3)
+        bands[name] = band(walls)
 
     # transcript recipe-bake throughput (the BASELINE.json metric)
     tdir = f"/tmp/recipys_bench_transcripts_{BENCH_CONVS}"
@@ -179,9 +192,13 @@ def main() -> None:
     # page-cache population + Python-worker spinup (measured 136 s →
     # 9.7 s across four identical runs in one fresh session), which is
     # startup cost, not engine throughput
+    tw0 = time.time()
     materialize(bake_recipe(tdf))
-    bake_s = best_time(lambda: bake_recipe(tdf), repeats=max(REPEATS, 4))
+    bake_warmup_sec = round(time.time() - tw0, 3)
+    bake_walls = best_time(lambda: bake_recipe(tdf), repeats=max(REPEATS, 4))
+    bake_s = bake_walls[0]
     timings["recipe_bake_transcripts"] = round(bake_s, 3)
+    bands["recipe_bake_transcripts"] = band(bake_walls)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -189,6 +206,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "bands": bands,
+        "warmup_sec": warmup_sec,
+        "bake_warmup_sec": bake_warmup_sec,
+        "repeats": REPEATS,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": cpus,
         "bake_turns": n_turns,

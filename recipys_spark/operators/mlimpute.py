@@ -122,12 +122,18 @@ def _exact_mean(values) -> float:
     associative, the final division runs in double on exact operands —
     the Python mirror of functions/deterministic.det_mean (and of the
     oracle's sum(DECIMAL)→VARCHAR→DOUBLE / n), so all three tiers
-    agree bit-for-bit."""
-    from decimal import Decimal
+    agree bit-for-bit. det_sum casts each operand to DECIMAL(38,18),
+    which rounds it to scale 18 (BigDecimal setScale HALF_UP) BEFORE
+    summing — quantize identically here, or values needing more than
+    18 fractional digits (|v| below ~1e-2 with a full double mantissa)
+    would differ in the last ulp between the Arrow and join tiers
+    (ADVICE r5)."""
+    from decimal import ROUND_HALF_UP, Decimal
 
+    q = Decimal(1).scaleb(-18)
     total = Decimal(0)
     for v in values:
-        total += Decimal(repr(float(v)))
+        total += Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP)
     return float(total) / len(values)
 
 

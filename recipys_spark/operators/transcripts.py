@@ -44,6 +44,17 @@ from recipys_spark.operators.base import Step
 from recipys_spark.selector import Selector
 
 
+def _bucketable_dtype(seq_dtype: str) -> bool:
+    """True when the salted plan can bucket by this order-column dtype
+    (numeric/temporal). One predicate shared by assemble_context's
+    guard and StepAssembleContext's auto-skew fallback so the two can
+    never disagree (ADVICE r5: a string sequence column must make the
+    step fall back to the plain plan, not raise mid-transform)."""
+    return seq_dtype in ("timestamp", "timestamp_ntz", "date") or seq_dtype.startswith(
+        ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "long")
+    )
+
+
 def assemble_context(
     df: DataFrame,
     budget: int,
@@ -111,11 +122,7 @@ def assemble_context(
         if rows_per_bucket < int(max_turns):
             raise ValueError("rows_per_bucket must be >= max_turns")
         seq_dtype = dict(df.dtypes)[list(order_cols)[0]]
-        if seq_dtype not in (
-            "timestamp",
-            "timestamp_ntz",
-            "date",
-        ) and not seq_dtype.startswith(("int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "long")):
+        if not _bucketable_dtype(seq_dtype):
             raise ValueError(
                 "the salted plan buckets by the order column numerically; "
                 f"order column dtype {seq_dtype!r} has no numeric bucket "
@@ -309,11 +316,15 @@ class StepAssembleContext(Step):
             self.max_turns is None
             or len(self.sequence_columns) != 1
             or int(self.max_turns) > self.rows_per_bucket
+            or not _bucketable_dtype(
+                dict(ingredients.df.dtypes)[self.sequence_columns[0]]
+            )
         ):
             # auto_skew may assign a bucket to any skew-capable step;
             # fall back to the plain plan where the salted one can't
-            # apply (unbounded max_turns, multi-column order, or a
-            # max_turns larger than the bucket carry) rather than
+            # apply (unbounded max_turns, multi-column order, a
+            # max_turns larger than the bucket carry, or — ADVICE r5 —
+            # an order column with no numeric bucket form) rather than
             # failing the recipe
             skew = None
         return assemble_context(

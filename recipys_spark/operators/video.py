@@ -172,7 +172,20 @@ def parse_avi(payload: bytes) -> dict:
                     scale, rate = struct.unpack_from("<2I", payload, b0 + 20)
                     if scale:
                         meta["fps"] = rate / scale
-            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                else:
+                    # ADVICE r5: the docstring promises non-vids streams
+                    # are REJECTED naming the type — enforce it rather
+                    # than silently ignoring an 'auds'/'txts' stream
+                    # whose chunks would otherwise vanish
+                    raise ValueError(
+                        f"unsupported stream type {fcc_type!r}: only a "
+                        "single MJPG 'vids' stream decodes here (audio/"
+                        "text streams need external codec libraries)"
+                    )
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2] == b"00":
+                # stream 00 only — the single validated vids stream;
+                # chunks addressed to other stream numbers would belong
+                # to streams the strh guard above already rejects
                 frames.append(payload[b0 : b0 + blen])
 
     walk_list(12, end)

@@ -19,10 +19,15 @@ from recipys_spark.sources.io import synthetic_transcripts
 
 
 def _ws_tokens(text: str) -> int:
-    # the engine's token_count: split(trim(lower(x)), '\s+') — '' -> ['']
+    # the engine's token_count: split(trim(lower(x)), '\s+') — '' -> [''].
+    # Mirror invariant (CLAUDE.md): Spark trim() strips SPACES only and
+    # Java \s is ASCII, so the oracle must use .strip(' ') + the ASCII
+    # class — the same mirror as streaming/context.py:_WS/_tok_count. A
+    # bare .strip()/Unicode \s would agree on ASCII fixtures but diverge
+    # on tabs/NBSP and silently mask a real mismatch.
     import re
 
-    return len(re.split(r"\s+", text.strip().lower()))
+    return len(re.split(r"[ \t\n\x0b\f\r]+", text.strip(" ").lower()))
 
 
 def _reference(rows, budget, max_turns):
@@ -446,6 +451,22 @@ def test_step_fallback_when_max_turns_exceeds_bucket(spark, tr_rows):
     ref = _reference(tr_rows, 6, 200_000)
     for r in out.collect():
         assert r["context"] == ref[(r["conv_id"], r["turn_idx"])][0]
+
+
+def test_step_fallback_on_string_order_column(spark):
+    """ADVICE r5 fix: an auto-assigned bucket on a recipe whose
+    sequence role is a STRING column must fall back to the plain plan
+    (the salted path has no numeric bucket form for it), not raise
+    mid-transform."""
+    rows = [("a", "t0", "one two"), ("a", "t1", "three"), ("b", "t0", "four")]
+    df = spark.createDataFrame(rows, ["conv_id", "ord", "text"])
+    rec = Recipe(df, predictors=["text"], groups="conv_id", sequences="ord")
+    rec.add_step(
+        StepAssembleContext(sel=all_of(["text"]), budget=6, skew_bucket_size=4)
+    )
+    got = {(r["conv_id"], r["ord"]): r["context"] for r in rec.prep().collect()}
+    assert got[("a", "t1")] == "one two"
+    assert got[("a", "t0")] == "" and got[("b", "t0")] == ""
 
 
 def test_step_state_roundtrip_keeps_skew_config(spark, tr_rows):
