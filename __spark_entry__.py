@@ -80,6 +80,15 @@ def _ivf_centroids(n: int = 8, dim: int = 64) -> list:
     return [[float(x) for x in row] for row in c]
 
 
+def _knn_lsh_weights() -> list:
+    """The literal ±1 hyperplanes shared by the impute_knn_lsh query
+    and its DuckDB mirror (4 planes × 2 projection dims f2/f3, the
+    xxhash64-derived matrix from similarity.hyperplane_weights)."""
+    from recipys_spark.operators.similarity import hyperplane_weights
+
+    return [[float(x) for x in row] for row in hyperplane_weights(4, 2, seed=42)]
+
+
 def _sql_list(vec) -> str:
     """A python float list as a DuckDB DOUBLE[] literal; repr() is the
     shortest round-trip form, so both engines see the identical double."""
@@ -259,6 +268,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rec.prep().select("event_id", F.col("y").alias("value_mice"))
 
     q["impute_iterative"] = impute_iter
+
+    # LSH-shortlisted KNN tier (VERDICT r5 #3): donors bucketed by
+    # literal hyperplanes over (f2, f3), Hamming-1 multiprobe, exact
+    # within-bucket arithmetic — the DuckDB mirror replays the planes
+    def impute_knn_lsh(s, d):
+        from recipys_spark.operators.mlimpute import knn_impute_lsh
+
+        ev = _events_with_nulls(s, d).repartition(32).select(
+            "event_id",
+            F.col("value_n").alias("f1"),
+            (F.col("value") * 0.5 + (F.col("user_id") % 10).cast("double")).alias(
+                "f2"
+            ),
+            ((F.col("event_id") % 100).cast("double") / 10.0).alias("f3"),
+        )
+        out = knn_impute_lsh(
+            ev,
+            ["f1", "f2", "f3"],
+            target_col="f1",
+            id_col="event_id",
+            n_neighbors=5,
+            n_planes=4,
+            weights=_knn_lsh_weights(),
+            pool_cap=500,
+        )
+        return out.select("event_id", F.col("f1").alias("value_knn_lsh"))
+
+    q["impute_knn_lsh"] = impute_knn_lsh
 
     # -- point-in-time context assembly (operators/transcripts.py): the
     # transcript→training-row op of the north star. Transcript view is
@@ -1322,6 +1359,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_video_decode"] = media_video_decode
 
+    # -- container-header METADATA projections (VERDICT r5 #5): the
+    # rows-only decode family upgraded to full rows+schema+hash —
+    # Spark parses the REAL bytes the encoders wrote (fixed-offset
+    # IHDR / SOF marker walk / fmt chunk / avih+movi walk); DuckDB
+    # replays the generators' id arithmetic from range(n). A broken
+    # encoder or parser hash-mismatches.
+    def media_png_meta(s, d):
+        from recipys_spark.operators.multimodal import (
+            extract_metadata,
+            parse_png_meta,
+            synthetic_pngs,
+        )
+
+        return extract_metadata(
+            synthetic_pngs(s, n=200, size=16, vary=True),
+            parse_png_meta,
+            ["width", "height", "bit_depth", "color_type"],
+        )
+
+    q["multimodal_png_meta"] = media_png_meta
+
+    def media_wav_meta(s, d):
+        from recipys_spark.operators.multimodal import (
+            extract_metadata,
+            parse_wav_meta,
+            synthetic_wavs,
+        )
+
+        return extract_metadata(
+            synthetic_wavs(s, n=200, vary=True),
+            parse_wav_meta,
+            ["sample_rate", "n_samples", "n_channels", "bits_per_sample"],
+        )
+
+    q["multimodal_wav_meta"] = media_wav_meta
+
+    def media_jpeg_meta(s, d):
+        from recipys_spark.operators.multimodal import (
+            extract_metadata,
+            parse_jpeg_meta,
+            synthetic_jpegs,
+        )
+
+        return extract_metadata(
+            synthetic_jpegs(s, n=200, size=16, vary=True),
+            parse_jpeg_meta,
+            ["width", "height", "n_components"],
+        )
+
+    q["multimodal_jpeg_meta"] = media_jpeg_meta
+
+    def media_video_meta(s, d):
+        from recipys_spark.operators.multimodal import extract_metadata
+        from recipys_spark.operators.video import parse_avi_meta, synthetic_avis
+
+        return extract_metadata(
+            synthetic_avis(s, n=50, size=16),
+            parse_avi_meta,
+            ["width", "height", "n_frames", "usec_per_frame"],
+        )
+
+    q["multimodal_video_meta"] = media_video_meta
+
+    def warc_record_count(s, d):
+        from recipys_spark.operators.warc import parse_warc_records, synthetic_warc
+
+        recs = parse_warc_records(synthetic_warc(s, n_files=50, vary=True))
+        return recs.groupBy("file_id").agg(
+            F.count(F.lit(1)).alias("n_records")
+        )
+
+    q["warc_record_count"] = warc_record_count
+
     # real BPE (Sennrich merges trained distributed-then-driver, greedy
     # rank apply in an Arrow pandas_udf) → rows-only: the merge loop is
     # not SQL-expressible; pytest pins the textbook merges and the
@@ -1407,6 +1517,16 @@ _DEFER_TO_BACK = [
     "resample_2h_agg",
     "scale_standard",
     "scale_robust",
+    # round-6 rotation (VERDICT r5 #7): the six rows-only entries that
+    # held front slots for their ONE recorded round (r05) yield them to
+    # the six new round-6 queries (impute_knn_lsh + the five
+    # container-metadata oracles)
+    "bpe_real_token_count",
+    "multimodal_png_decode",
+    "multimodal_wav_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_video_decode",
+    "warc_extract",
 ]
 
 _DRIVER_WINDOW = 50
@@ -1599,6 +1719,63 @@ def oracle_sql() -> dict[str, str]:
         "SELECT e.event_id, coalesce(e.f1, k.knn, c.cmean) AS value_knn "
         "FROM ev e LEFT JOIN knn k ON e.event_id = k.event_id CROSS JOIN cm c"
     )
+    # LSH-shortlisted KNN: the same literal ±1 planes as the Spark
+    # query project (coalesce(f, mean)) left-to-right (0.0 + f2·w0 +
+    # f3·w1 — the F.aggregate tree), sign bits sum into the signature,
+    # probes search their bucket + all Hamming-1 buckets (xor), and the
+    # within-bucket distance / top-k / exact-decimal mean is the
+    # impute_knn mirror verbatim.
+    _WK = _knn_lsh_weights()
+
+    def _knn_proj(p: int) -> str:
+        return (
+            f"(0.0 + coalesce(e.f2, mn.pm2) * {_WK[p][0]!r} "
+            f"+ coalesce(e.f3, mn.pm3) * {_WK[p][1]!r})"
+        )
+
+    _sigk = " + ".join(
+        f"(CASE WHEN {_knn_proj(p)} > 0 THEN CAST({1 << p} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for p in range(len(_WK))
+    )
+    _probe_k = " UNION ALL ".join(
+        ["SELECT event_id, f1, f2, f3, sig AS bucket FROM mi"]
+        + [
+            f"SELECT event_id, f1, f2, f3, xor(sig, CAST({1 << p} AS BIGINT)) "
+            "AS bucket FROM mi"
+            for p in range(len(_WK))
+        ]
+    )
+    o["impute_knn_lsh"] = (
+        f"WITH ev0 AS ({_mlfeat}), "
+        f"mn AS (SELECT {sql_det_mean('f2', '')} AS pm2, "
+        f"{sql_det_mean('f3', '')} AS pm3, "
+        f"{sql_det_mean('f1', '')} AS cmean FROM ev0), "
+        f"sv AS (SELECT e.*, {_sigk} AS sig FROM ev0 e CROSS JOIN mn), "
+        "pool AS (SELECT sig AS dsig, event_id AS did, f1 AS dval, "
+        "f1 AS d1, f2 AS d2c, f3 AS d3 FROM sv WHERE f1 IS NOT NULL "
+        f"ORDER BY {_md5_coin}, event_id LIMIT 500), "
+        "mi AS (SELECT event_id, f1, f2, f3, sig FROM sv WHERE f1 IS NULL), "
+        f"probes AS ({_probe_k}), "
+        "pairs AS (SELECT m.event_id, p.did, p.dval, "
+        f"(0.0 + {_knn_term.format(a='f1', b='d1')} "
+        f"+ {_knn_term.format(a='f2', b='d2c')} "
+        f"+ {_knn_term.format(a='f3', b='d3')}) AS s2, "
+        f"({_knn_pres.format(a='f1', b='d1')} "
+        f"+ {_knn_pres.format(a='f2', b='d2c')} "
+        f"+ {_knn_pres.format(a='f3', b='d3')}) AS npres "
+        "FROM probes m JOIN pool p ON m.bucket = p.dsig "
+        "AND m.event_id <> p.did), "
+        "ranked AS (SELECT event_id, dval, row_number() OVER "
+        "(PARTITION BY event_id "
+        "ORDER BY (3.0 / CAST(npres AS DOUBLE)) * s2, did) AS rn "
+        "FROM pairs WHERE npres > 0), "
+        f"knn AS (SELECT event_id, {sql_det_mean('dval', '')} AS knn "
+        "FROM ranked WHERE rn <= 5 GROUP BY event_id) "
+        "SELECT e.event_id, coalesce(e.f1, k.knn, c.cmean) AS value_knn_lsh "
+        "FROM ev0 e LEFT JOIN knn k ON e.event_id = k.event_id CROSS JOIN mn c"
+    )
+
     # MICE, single complete regressor → the closed-form OLS path
     # (mlimpute._ols_closed_form): normal-equation sums in exact decimal,
     # slope/intercept with the identical double expression tree, applied
@@ -2450,8 +2627,51 @@ def oracle_sql() -> dict[str, str]:
         "AS BIGINT) % 64 END AS event_type_hash FROM events"
     )
 
+    # -- container-header metadata mirrors (VERDICT r5 #5): Spark parses
+    # the real container bytes; DuckDB replays the synthetic generators'
+    # id arithmetic from range(n). All columns BIGINT by contract
+    # (multimodal.extract_metadata).
+    o["multimodal_png_meta"] = (
+        "SELECT CAST(i AS BIGINT) AS media_id, "
+        "CAST(16 + i % 5 AS BIGINT) AS width, "
+        "CAST(16 + i % 5 AS BIGINT) AS height, "
+        "CAST(8 AS BIGINT) AS bit_depth, "
+        "CAST(2 AS BIGINT) AS color_type "
+        "FROM range(200) t(i)"
+    )
+    o["multimodal_wav_meta"] = (
+        "SELECT CAST(i AS BIGINT) AS media_id, "
+        "CAST(8000 + 1000 * (i % 3) AS BIGINT) AS sample_rate, "
+        "CAST((8000 + 1000 * (i % 3)) // 2 AS BIGINT) AS n_samples, "
+        "CAST(1 AS BIGINT) AS n_channels, "
+        "CAST(16 AS BIGINT) AS bits_per_sample "
+        "FROM range(200) t(i)"
+    )
+    o["multimodal_jpeg_meta"] = (
+        "SELECT CAST(i AS BIGINT) AS media_id, "
+        "CAST(16 + 2 * (i % 4) AS BIGINT) AS width, "
+        "CAST(16 + 2 * (i % 4) AS BIGINT) AS height, "
+        "CAST(3 AS BIGINT) AS n_components "
+        "FROM range(200) t(i)"
+    )
+    o["multimodal_video_meta"] = (
+        "SELECT CAST(i AS BIGINT) AS media_id, "
+        "CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height, "
+        "CAST(2 + i % 4 AS BIGINT) AS n_frames, "
+        "CAST(CASE WHEN i % 2 = 1 THEN 200000 ELSE 100000 END AS BIGINT) "
+        "AS usec_per_frame "
+        "FROM range(50) t(i)"
+    )
+    o["warc_record_count"] = (
+        "SELECT CAST(i AS BIGINT) AS file_id, "
+        "CAST(3 + i % 4 AS BIGINT) AS n_records "
+        "FROM range(50) t(i)"
+    )
+
     # no oracles (UDF decode plumbing — no decoder in DuckDB):
     # multimodal_features, multimodal_real_decode, multimodal_png_decode,
     # multimodal_wav_decode, multimodal_jpeg_decode; bpe_real_token_count
-    # (the BPE merge loop is not SQL-expressible — pytest pins it)
+    # (the BPE merge loop is not SQL-expressible — pytest pins it).
+    # Their container-header METADATA projections above DO hash-verify
+    # end-to-end (encoder bytes → parser vs generator arithmetic).
     return o

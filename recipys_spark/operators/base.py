@@ -65,6 +65,14 @@ class Step:
     #: configuration override ``stream_safe()`` instead.
     _stream_safe = False
 
+    #: dtype this step's in-place transform casts its selected columns
+    #: to (e.g. "double" for the scalers), or None when the step cannot
+    #: join a FUSED fit batch (adds/removes columns, fits via something
+    #: other than one whole-table df.agg, ...). Recipe.prep uses this
+    #: to batch consecutive independent fit jobs into ONE scan — at
+    #: 100 TB a 4-scaler recipe pays 1 aggregation pass instead of 4.
+    fused_fit_dtype: Optional[str] = None
+
     @property
     def trained(self) -> bool:
         return self._trained
@@ -74,14 +82,33 @@ class Step:
         a streaming DataFrame. Default: the class flag."""
         return self._stream_safe
 
-    def fit(self, ingredients: Ingredients) -> "Step":
+    def resolve_fit_columns(self, ingredients: Ingredients) -> None:
+        """The resolution half of ``fit``: bind the selector and the
+        group/sequence roles against the CURRENT schema. Split out so
+        the fused-fit path (Recipe._fusable_batch) can resolve a run of
+        steps against one shared pre-transform frame before launching
+        their single combined aggregation job."""
         if not isinstance(ingredients, Ingredients):
-            raise TypeError(f"Step.fit expects Ingredients, got {type(ingredients).__name__}")
+            raise TypeError(
+                f"Step.fit expects Ingredients, got {type(ingredients).__name__}"
+            )
         self.columns = self.sel(ingredients)
         if self._uses_groups:
             self.group_columns = select_groups(ingredients)
         if self._uses_sequence:
             self.sequence_columns = select_sequence(ingredients)
+
+    def fit_agg_plan(self, ingredients: Ingredients, prefix: str = ""):
+        """Fused-fit protocol: return ``(exprs, consume)`` where
+        ``exprs`` is a list of aggregate Columns over the untransformed
+        input (aliases MUST start with ``prefix`` so several steps'
+        expressions coexist in one ``df.agg``) and ``consume(row_dict)``
+        installs the fitted state, or None when this step fits some
+        other way. ``resolve_fit_columns`` has already run."""
+        return None
+
+    def fit(self, ingredients: Ingredients) -> "Step":
+        self.resolve_fit_columns(ingredients)
         self.do_fit(ingredients)
         self._trained = True
         return self

@@ -224,6 +224,146 @@ def knn_impute_join(
     )
 
 
+def knn_impute_lsh(
+    df: DataFrame,
+    feature_cols,
+    target_col: str,
+    id_col: str,
+    n_neighbors: int = 5,
+    n_planes: int = 4,
+    seed: int = 42,
+    weights=None,
+    multiprobe: bool = True,
+    pool_cap: Optional[int] = None,
+) -> DataFrame:
+    """LSH-shortlisted KNN impute — the 100 TB tier of
+    :func:`knn_impute_join` (VERDICT r5 #3): donors are bucketed by a
+    hyperplane signature over the NON-target features (nulls filled
+    with the exact-decimal column mean for the projection only), and
+    each probe searches its own bucket — plus every Hamming-1 bucket
+    with ``multiprobe`` — instead of the whole pool. Per-probe distance
+    evaluations drop from O(pool) to O(pool / 2^n_planes × (n_planes+1))
+    while the within-bucket arithmetic (nan-euclidean ``_dist2_exprs``,
+    (dist², donor_id) total order, exact-decimal neighbor mean, column-
+    mean fallback) is IDENTICAL to the exact tiers — with 1 plane +
+    multiprobe the candidate set is the full pool and the output is
+    bit-identical to ``knn_impute_join`` (pytest-pinned).
+
+    Pass ``weights`` (n_planes × len(proj) literal ±1 matrix, e.g.
+    ``similarity.hyperplane_weights``) for the SQL-mirrorable form —
+    the DuckDB oracle replays bucketing from the same literals, like
+    ``ann_lsh_topk``. Recall: a true nearest neighbor in a different,
+    non-adjacent bucket is missed — the classic LSH trade; the pytest
+    recall bound pins ≥0.8 agreement with the exact tier on planted
+    data at the default 4 planes.
+
+    Scale shape: one aggregation for the means (broadcast, one row),
+    one shuffle for the bucket join, one for the per-probe top-k
+    window, one for the final left join — no driver collect, no
+    crossJoin on unbounded sides."""
+    feats = list(feature_cols)
+    if target_col not in feats:
+        raise ValueError("target_col must be one of feature_cols")
+    proj = [c for c in feats if c != target_col]
+    if not proj:
+        raise ValueError(
+            "knn_impute_lsh needs at least one non-target feature to "
+            "project onto the hyperplanes"
+        )
+    if n_planes < 1 or n_planes > 62:
+        raise ValueError("n_planes must be in [1, 62]")
+    from pyspark.sql import Window
+
+    from recipys_spark.functions.deterministic import det_mean
+    from recipys_spark.operators.packing import md5_long
+    from recipys_spark.operators.similarity import hyperplane_signature
+
+    means = df.agg(
+        *[det_mean(F.col(c)).alias(f"__pm_{c}") for c in proj],
+        det_mean(F.col(target_col)).alias("__cmean"),
+    )
+    base = df.crossJoin(F.broadcast(means))
+    emb = F.array(
+        *[
+            F.coalesce(F.col(c).cast("double"), F.col(f"__pm_{c}"))
+            for c in proj
+        ]
+    )
+    sig = hyperplane_signature(
+        emb, n_planes, dim=len(proj), seed=seed, weights=weights
+    )
+
+    donors = base.where(F.col(target_col).isNotNull())
+    if pool_cap is not None:
+        donors = (
+            donors.withColumn("__coin", md5_long(F.col(id_col), seed))
+            .orderBy("__coin", id_col)
+            .limit(int(pool_cap))
+            .drop("__coin")
+        )
+    pool = donors.select(
+        sig.alias("__dsig"),
+        F.col(id_col).alias("__did"),
+        F.col(target_col).cast("double").alias("__dval"),
+        *[F.col(c).alias(f"__d_{c}") for c in feats],
+    )
+    probes = base.where(F.col(target_col).isNull()).select(
+        id_col, *feats, sig.alias("__psig")
+    )
+    if multiprobe:
+        # probe buckets are DISTINCT by construction (sig, sig^1, sig^2,
+        # ...), so a donor can match a probe at most once — no dedup
+        buckets = F.array(
+            F.col("__psig"),
+            *[
+                F.col("__psig").bitwiseXOR(F.lit(1 << p).cast("long"))
+                for p in range(n_planes)
+            ],
+        )
+        probes = probes.withColumn("__bucket", F.explode(buckets))
+    else:
+        probes = probes.withColumn("__bucket", F.col("__psig"))
+    dist2, npres = _dist2_exprs(
+        [F.col(c) for c in feats], [F.col(f"__d_{c}") for c in feats]
+    )
+    pairs = (
+        probes.join(
+            pool,
+            (F.col("__bucket") == F.col("__dsig"))
+            & (F.col(id_col) != F.col("__did")),
+            "inner",
+        )
+        .select(
+            id_col,
+            "__did",
+            "__dval",
+            dist2.alias("__dist2"),
+            npres.alias("__npres"),
+        )
+        .where(F.col("__npres") > 0)
+    )
+    w = Window.partitionBy(id_col).orderBy("__dist2", "__did")
+    imputed = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_neighbors)
+        .groupBy(id_col)
+        .agg(det_mean(F.col("__dval")).alias("__knn"))
+    )
+    return (
+        base.join(imputed, id_col, "left")
+        .select(
+            *[
+                F.coalesce(
+                    F.col(c).cast("double"), F.col("__knn"), F.col("__cmean")
+                ).alias(c)
+                if c == target_col
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Arrow tier: StepImputeKNN
 # ---------------------------------------------------------------------------

@@ -146,20 +146,25 @@ def jpeg_decoder(payload: bytes, resize_to: "tuple[int, int] | None" = (8, 8)):
     return image_features(img)
 
 
-def synthetic_jpegs(spark: SparkSession, n: int = 100, size: int = 16) -> DataFrame:
+def synthetic_jpegs(
+    spark: SparkSession, n: int = 100, size: int = 16, vary: bool = False
+) -> DataFrame:
     """MEDIA_SCHEMA table whose payloads are REAL baseline JFIF bytes
     (same deterministic gradient+stripe pattern as synthetic_pngs),
     generated executor-side via mapInPandas — rows cycle through 4:4:4,
     4:2:0, and restart-marker variants so the decoder's MCU and resync
-    paths are all exercised by the driver query."""
+    paths are all exercised by the driver query. ``vary=True`` makes
+    the side ``size + 2·(id % 4)`` (even, 4:2:0-safe) so SOF metadata
+    differs per row — the metadata-oracle fixture."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            rows, metas = [], []
             for mid in pdf["id"]:
-                yy, xx = np.mgrid[0:size, 0:size]
-                r = (xx * 255 // max(size - 1, 1)).astype(np.uint8)
-                g = (yy * 255 // max(size - 1, 1)).astype(np.uint8)
+                sz = size + 2 * (int(mid) % 4) if vary else size
+                yy, xx = np.mgrid[0:sz, 0:sz]
+                r = (xx * 255 // max(sz - 1, 1)).astype(np.uint8)
+                g = (yy * 255 // max(sz - 1, 1)).astype(np.uint8)
                 b = (((xx + yy + int(mid)) % 8) * 32).astype(np.uint8)
                 img = np.stack([r, g, b], axis=-1)
                 sub = "420" if int(mid) % 2 else "444"
@@ -167,20 +172,20 @@ def synthetic_jpegs(spark: SparkSession, n: int = 100, size: int = 16) -> DataFr
                 rows.append(
                     encode_jpeg(img, quality=85, subsampling=sub, restart_interval=rst)
                 )
+                metas.append(
+                    {
+                        "mime": "image/jpeg",
+                        "width": sz,
+                        "height": sz,
+                        "duration_ms": 0,
+                    }
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["id"],
                     "kind": "image",
                     "payload": rows,
-                    "meta": [
-                        {
-                            "mime": "image/jpeg",
-                            "width": size,
-                            "height": size,
-                            "duration_ms": 0,
-                        }
-                    ]
-                    * len(pdf),
+                    "meta": metas,
                 }
             )
 
@@ -318,34 +323,40 @@ def png_decoder(payload: bytes, resize_to: "tuple[int, int] | None" = (8, 8)):
     return image_features(img)
 
 
-def synthetic_pngs(spark: SparkSession, n: int = 100, size: int = 16) -> DataFrame:
+def synthetic_pngs(
+    spark: SparkSession, n: int = 100, size: int = 16, vary: bool = False
+) -> DataFrame:
     """MEDIA_SCHEMA table whose payloads are REAL zlib-compressed PNG
     bytes (same deterministic gradient+stripe pattern as
-    synthetic_images), generated executor-side via mapInPandas."""
+    synthetic_images), generated executor-side via mapInPandas.
+    ``vary=True`` makes the image side ``size + id % 5`` so container
+    metadata differs per row — the metadata-oracle fixture (the DuckDB
+    mirror replays the same arithmetic from ``range(n)``)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            rows, metas = [], []
             for mid in pdf["id"]:
-                yy, xx = np.mgrid[0:size, 0:size]
-                r = (xx * 255 // max(size - 1, 1)).astype(np.uint8)
-                g = (yy * 255 // max(size - 1, 1)).astype(np.uint8)
+                sz = size + int(mid) % 5 if vary else size
+                yy, xx = np.mgrid[0:sz, 0:sz]
+                r = (xx * 255 // max(sz - 1, 1)).astype(np.uint8)
+                g = (yy * 255 // max(sz - 1, 1)).astype(np.uint8)
                 b = (((xx + yy + int(mid)) % 8) * 32).astype(np.uint8)
                 rows.append(encode_png(np.stack([r, g, b], axis=-1)))
+                metas.append(
+                    {
+                        "mime": "image/png",
+                        "width": sz,
+                        "height": sz,
+                        "duration_ms": 0,
+                    }
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["id"],
                     "kind": "image",
                     "payload": rows,
-                    "meta": [
-                        {
-                            "mime": "image/png",
-                            "width": size,
-                            "height": size,
-                            "duration_ms": 0,
-                        }
-                    ]
-                    * len(pdf),
+                    "meta": metas,
                 }
             )
 
@@ -370,6 +381,91 @@ def extract_features(
             )
 
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+# -- container-header metadata tier (VERDICT r5 #5) --------------------------
+#
+# DuckDB has no PNG/JPEG/WAV/AVI decoder, so the pixel/sample tiers are
+# rows-only in the driver gate. But every container's HEADER fields are
+# plain bytes at documented offsets, and the synthetic fixtures derive
+# those fields from deterministic id arithmetic — so a metadata
+# projection gets a FULL rows+schema+hash oracle: Spark parses the real
+# bytes the encoder wrote; DuckDB replays the generator arithmetic from
+# range(n). A broken encoder OR parser hash-mismatches.
+
+
+def parse_png_meta(payload: bytes) -> tuple:
+    """(width, height, bit_depth, color_type) from the IHDR chunk at
+    its fixed offset (PNG spec: signature 8 bytes, then length+'IHDR',
+    body at byte 16). Raises on non-PNG input."""
+    import struct
+
+    if len(payload) < 24 or payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    if payload[12:16] != b"IHDR":
+        raise ValueError("PNG missing leading IHDR chunk")
+    w, h, bd, ct = struct.unpack_from(">IIBB", payload, 16)
+    return (int(w), int(h), int(bd), int(ct))
+
+
+def parse_jpeg_meta(payload: bytes) -> tuple:
+    """(width, height, n_components) from the SOF0/SOF1 segment of a
+    baseline JFIF stream — a marker walk over segment lengths, no
+    entropy decode."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            continue  # standalone markers carry no segment length
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if marker in (0xC0, 0xC1):
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, pos + 2)
+            return (int(w), int(h), int(ncomp))
+        if marker == 0xDA:
+            break  # SOS reached without SOF: not baseline
+        pos += seglen
+    raise ValueError("no SOF0/SOF1 segment found")
+
+
+def parse_wav_meta(payload: bytes) -> tuple:
+    """(sample_rate, n_frames, n_channels, bits_per_sample) from the
+    RIFF fmt/data chunks via the stdlib ``wave`` reader."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        return (
+            int(w.getframerate()),
+            int(w.getnframes()),
+            int(w.getnchannels()),
+            int(w.getsampwidth() * 8),
+        )
+
+
+def extract_metadata(df: DataFrame, parser: Callable[[bytes], tuple], fields) -> DataFrame:
+    """binary payload → container-header metadata, one row per media
+    row, shuffle-free Arrow ``mapInPandas``. ``fields`` names the
+    parser's tuple slots; every output column is LONG (one dtype across
+    containers keeps the oracle casts uniform)."""
+    names = list(fields)
+    schema = ", ".join(["media_id long"] + [f"{c} long" for c in names])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict = {"media_id": pdf["media_id"].astype("int64")}
+            vals = [parser(bytes(p)) for p in pdf["payload"]]
+            for j, c in enumerate(names):
+                cols[c] = pd.Series([v[j] for v in vals], dtype="int64")
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(run, schema=schema)
 
 
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -590,21 +686,26 @@ def wav_decoder(payload: bytes) -> np.ndarray:
 
 
 def synthetic_wavs(
-    spark: SparkSession, n: int = 100, rate: int = 8000, dur_s: float = 0.5
+    spark: SparkSession, n: int = 100, rate: int = 8000, dur_s: float = 0.5,
+    vary: bool = False,
 ) -> DataFrame:
     """MEDIA_SCHEMA table of REAL RIFF PCM payloads: sine tones at
-    200 + 50·(id mod 20) Hz, amplitude 0.5, generated executor-side."""
+    200 + 50·(id mod 20) Hz, amplitude 0.5, generated executor-side.
+    ``vary=True`` makes the sample rate ``rate + 1000·(id % 3)`` so
+    fmt-chunk metadata differs per row — the metadata-oracle fixture."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            t = np.arange(int(rate * dur_s)) / rate
-            payloads = [
-                encode_wav(
-                    0.5 * np.sin(2 * np.pi * (200 + 50 * (int(mid) % 20)) * t),
-                    rate,
+            payloads = []
+            for mid in pdf["id"]:
+                r_i = rate + 1000 * (int(mid) % 3) if vary else rate
+                t = np.arange(int(r_i * dur_s)) / r_i
+                payloads.append(
+                    encode_wav(
+                        0.5 * np.sin(2 * np.pi * (200 + 50 * (int(mid) % 20)) * t),
+                        r_i,
+                    )
                 )
-                for mid in pdf["id"]
-            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["id"],

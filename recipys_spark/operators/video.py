@@ -198,6 +198,19 @@ def parse_avi(payload: bytes) -> dict:
     return meta
 
 
+def parse_avi_meta(payload: bytes) -> tuple:
+    """(width, height, n_frames, usec_per_frame) from the avih header +
+    movi chunk walk — container metadata without any pixel decode (the
+    extract_metadata parser slot; VERDICT r5 #5)."""
+    info = parse_avi(payload)
+    return (
+        int(info["width"]),
+        int(info["height"]),
+        int(info["n_frames"]),
+        int(info["usec_per_frame"]),
+    )
+
+
 def decode_video(payload: bytes) -> List[Tuple[int, np.ndarray]]:
     """[(frame_ms, uint8 image array), ...] — every frame, with its
     timestamp from the container's frame clock."""

@@ -176,11 +176,14 @@ def parse_warc_records(
 
 def synthetic_warc(
     spark: SparkSession, n_files: int = 20, records_per_file: int = 5,
-    gzipped: bool = True,
+    gzipped: bool = True, vary: bool = False,
 ) -> DataFrame:
     """Deterministic WARC fixture table (file_id, payload): genuine
     WARC/1.0 response records (one gzip member per record when
-    ``gzipped``) whose HTML bodies the extraction tier can consume."""
+    ``gzipped``) whose HTML bodies the extraction tier can consume.
+    ``vary=True`` writes ``3 + id % 4`` records per file so the member
+    count differs per row — the metadata-oracle fixture (the DuckDB
+    mirror replays the arithmetic from range(n))."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import gzip as _gzip
@@ -189,7 +192,8 @@ def synthetic_warc(
             payloads = []
             for fid in pdf["id"]:
                 members = []
-                for r in range(records_per_file):
+                n_recs = 3 + int(fid) % 4 if vary else records_per_file
+                for r in range(n_recs):
                     html = (
                         f"<html><head><title>doc {fid}-{r}</title>"
                         "<style>p{color:red}</style></head>"

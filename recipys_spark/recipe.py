@@ -166,12 +166,68 @@ class Recipe:
             )
         return ing
 
+    def _fusable_batch(self, start: int, ingredients: Ingredients, refit: bool):
+        """Maximal run of consecutive steps from ``start`` whose fits
+        can share ONE ``df.agg`` scan (VERDICT r5 #2). A step joins the
+        batch iff it needs fitting, declares ``fused_fit_dtype`` (an
+        in-place whole-table-agg fit, operators/scale.py), reads no
+        column an earlier batch member rewrites, and resolves to the
+        SAME column set against the batch's post-transform schema (a
+        dtype-keyed selector could otherwise pick up columns an earlier
+        scaler casts to double). All checks are lazy — no Spark job.
+
+        Returns [(step, exprs, consume), ...]."""
+        from pyspark.sql import functions as F
+
+        batch = []
+        written: dict[str, str] = {}  # col -> post-transform dtype
+        for idx in range(start, len(self.steps)):
+            step = self.steps[idx]
+            if not (refit or not step.trained):
+                break
+            if getattr(step, "fused_fit_dtype", None) is None:
+                break
+            step.resolve_fit_columns(ingredients)
+            if set(written) & set(step.columns):
+                break  # reads a rewritten column: must fit sequentially
+            if written:
+                adj = ingredients.df.select(
+                    *[
+                        F.col(c).cast(written[c]).alias(c) if c in written else F.col(c)
+                        for c in ingredients.df.columns
+                    ]
+                )
+                adj_ing = Ingredients(adj, ingredients.roles, check_roles=False)
+                if step.sel(adj_ing) != step.columns:
+                    break  # resolution is dtype-sensitive: don't fuse
+            plan = step.fit_agg_plan(ingredients, prefix=f"__fused{idx}__")
+            if plan is None:
+                break
+            batch.append((step, *plan))
+            written.update({c: step.fused_fit_dtype for c in step.columns})
+        return batch
+
     def _apply_fit_transform(self, ingredients: Ingredients, refit: bool) -> Ingredients:
-        for step in self.steps:
+        i = 0
+        while i < len(self.steps):
+            step = self.steps[i]
             if refit or not step.trained:
+                batch = self._fusable_batch(i, ingredients, refit)
+                if len(batch) >= 2:
+                    # ONE aggregation job fits the whole run: a 100 TB
+                    # table is scanned once for a 3-scaler chain, not 3×
+                    exprs = [e for _, es, _ in batch for e in es]
+                    row = ingredients.df.agg(*exprs).first().asDict()
+                    for s, _, consume in batch:
+                        consume(row)
+                        s._trained = True
+                        ingredients = s.transform(ingredients)
+                    i += len(batch)
+                    continue
                 ingredients = step.fit_transform(ingredients)
             else:
                 ingredients = step.transform(ingredients)
+            i += 1
         return ingredients
 
     def _configure_auto_skew(self, ingredients: Ingredients) -> dict:

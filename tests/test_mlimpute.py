@@ -386,3 +386,97 @@ def test_knn_unbounded_pool_warns_and_orders_by_content(spark):
             Recipe(df, predictors=["x1", "x2"]).add_step(step).prep().count()
         pools.append(step.pool)
     assert pools[0] == pools[1]  # identical ORDER at any partitioning
+
+
+# -- LSH-shortlisted tier (VERDICT r5 #3) ------------------------------------
+
+
+def test_knn_lsh_one_plane_multiprobe_equals_exact_join(spark):
+    """With 1 plane + multiprobe the probe searches BOTH buckets — the
+    candidate set is the full pool, so the output must be bit-identical
+    to the exact broadcast-join tier."""
+    from recipys_spark.operators.mlimpute import knn_impute_join, knn_impute_lsh
+
+    X = _frame(n=120, miss=0.25, seed=7)
+    df, cols = _to_spark(spark, X)
+    exact = {
+        r["rid"]: r["x2"]
+        for r in knn_impute_join(
+            df, cols, target_col="x2", id_col="rid", n_neighbors=5
+        ).collect()
+    }
+    lsh = {
+        r["rid"]: r["x2"]
+        for r in knn_impute_lsh(
+            df, cols, target_col="x2", id_col="rid", n_neighbors=5,
+            n_planes=1, multiprobe=True,
+        ).collect()
+    }
+    assert lsh == exact  # bitwise, every row
+
+
+def test_knn_lsh_recall_bound_on_planted_clusters(spark):
+    """Planted two-cluster data: at 4 planes the bucketing must keep
+    >= 0.8 of the imputed values in agreement with the exact tier (the
+    LSH recall bound the verdict asked to pin)."""
+    from recipys_spark.operators.mlimpute import knn_impute_join, knn_impute_lsh
+
+    rng = np.random.RandomState(0)
+    n = 200
+    centers = np.array([[0.0, 0.0], [50.0, 50.0]])
+    lab = rng.randint(0, 2, n)
+    P = centers[lab] + rng.normal(0, 1.0, (n, 2))
+    t = lab * 100.0 + rng.normal(0, 0.1, n)
+    t[rng.rand(n) < 0.2] = np.nan
+    X = np.column_stack([t, P])
+    df, cols = _to_spark(spark, X)  # x0 = target, x1/x2 = projection
+    exact = {
+        r["rid"]: r["x0"]
+        for r in knn_impute_join(
+            df, cols, target_col="x0", id_col="rid", n_neighbors=5
+        ).collect()
+    }
+    lsh = {
+        r["rid"]: r["x0"]
+        for r in knn_impute_lsh(
+            df, cols, target_col="x0", id_col="rid", n_neighbors=5, n_planes=4
+        ).collect()
+    }
+    missing = [i for i in range(n) if np.isnan(X[i, 0])]
+    assert missing and all(lsh[i] is not None for i in missing)
+    agree = sum(
+        1 for i in missing if abs(lsh[i] - exact[i]) <= 1.0
+    ) / len(missing)
+    assert agree >= 0.8, f"LSH recall {agree:.2f} below the 0.8 bound"
+
+
+def test_knn_lsh_empty_bucket_falls_back_to_column_mean(spark):
+    """Literal axis-aligned planes put the probe in a bucket no donor
+    shares (multiprobe off): the imputed value must be the exact-
+    decimal column mean, exactly as the verdict's fallback contract."""
+    from recipys_spark.operators.mlimpute import knn_impute_lsh
+
+    rows = [
+        (0, 1.0, 5.0, 5.0),
+        (1, 2.0, 6.0, 7.0),
+        (2, 3.0, 7.0, 6.0),
+        (99, None, -5.0, -5.0),  # sig 0 vs donor sig 3 — empty bucket
+    ]
+    df = spark.createDataFrame(rows, ["rid", "t", "x", "y"])
+    out = {
+        r["rid"]: r["t"]
+        for r in knn_impute_lsh(
+            df, ["t", "x", "y"], target_col="t", id_col="rid",
+            n_planes=2, weights=[[1.0, 0.0], [0.0, 1.0]], multiprobe=False,
+        ).collect()
+    }
+    assert out[99] == 2.0  # mean(1, 2, 3)
+    assert out[0] == 1.0 and out[2] == 3.0  # donors untouched
+
+
+def test_knn_lsh_rejects_no_projection_features(spark):
+    from recipys_spark.operators.mlimpute import knn_impute_lsh
+
+    df = spark.createDataFrame([(0, 1.0)], ["rid", "t"])
+    with pytest.raises(ValueError, match="non-target"):
+        knn_impute_lsh(df, ["t"], target_col="t", id_col="rid")
