@@ -58,6 +58,19 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         .add_step(StepLag(sel=all_of(["value"]), lags=(1,)))
         .add_step(StepSessionize(gap="30m"))
     )
+    # one-probe sizing report BEFORE prep: group skew, per-step salted
+    # buckets (None below the measured crossovers), shuffle partitions
+    # for every Exchange the baked plan will run
+    from recipys_spark.plans.advisor import recommend_pipeline_config
+
+    cfg = recommend_pipeline_config(events, rec, apply=True)
+    print(
+        "== pipeline sizing ==\n"
+        f"rows={cfg['stats']['total_rows']}, groups={cfg['stats']['n_groups']}, "
+        f"max_group_rows={cfg['stats']['max_rows']}, "
+        f"shuffle_partitions={cfg['shuffle_partitions']}, "
+        f"salted_steps={[s['index'] for s in cfg['steps'] if s['skew_bucket_size']]}"
+    )
     feats = rec.prep()
     print("== recipe features (prep) ==")
     feats.orderBy("user_id", "ts").show(5, truncate=False)

@@ -46,6 +46,16 @@ def main() -> None:
     )
     print(f"== ingest == {archives.count()} archives -> {docs.count()} documents")
 
+    # sizing report before the shuffle-heavy curation tiers: total rows
+    # drive the shuffle-partition count every dedup groupBy will use
+    from recipys_spark.plans.advisor import recommend_pipeline_config
+
+    cfg = recommend_pipeline_config(docs, apply=True)
+    print(
+        f"== pipeline sizing == rows={cfg['stats']['total_rows']}, "
+        f"shuffle_partitions={cfg['shuffle_partitions']}"
+    )
+
     # -- 2. URL-level filtering ----------------------------------------
     with_urls = url_features(docs)
     kept = with_urls.where(

@@ -351,7 +351,8 @@ class Recipe:
           StepSessionize, directional/group-stat StepImputeFill,
           StepResampling, StepAssembleContext, …) raise here — their
           streaming analogs live in ``recipys_spark.streaming``
-          (watermarked session stats / running features / dedup).
+          (watermarked session stats / running features / resample /
+          context assembly / dedup).
         """
         if not getattr(data, "isStreaming", False):
             raise ValueError(
@@ -369,7 +370,12 @@ class Recipe:
             raise ValueError(
                 "steps not applicable to an unbounded stream: "
                 f"{unsafe}. Window/aggregation features have watermarked "
-                "streaming analogs in recipys_spark.streaming."
+                "streaming analogs in recipys_spark.streaming: "
+                "streaming_resample (StepResampling's tumbling buckets), "
+                "streaming_session_stats (StepSessionize), "
+                "streaming_running_features (StepHistorical), "
+                "streaming_assemble_context (StepAssembleContext), "
+                "streaming_exact_dedup."
             )
         ingredients = self._check_data(data)
         for step in self.steps:
