@@ -1728,9 +1728,11 @@ def oracle_sql() -> dict[str, str]:
     _WK = _knn_lsh_weights()
 
     def _knn_proj(p: int) -> str:
+        # mean-centered projection, the operator's bucket-balance rule:
+        # (coalesce(f, mean) - mean) · w, left-to-right like F.aggregate
         return (
-            f"(0.0 + coalesce(e.f2, mn.pm2) * {_WK[p][0]!r} "
-            f"+ coalesce(e.f3, mn.pm3) * {_WK[p][1]!r})"
+            f"(0.0 + (coalesce(e.f2, mn.pm2) - mn.pm2) * {_WK[p][0]!r} "
+            f"+ (coalesce(e.f3, mn.pm3) - mn.pm3) * {_WK[p][1]!r})"
         )
 
     _sigk = " + ".join(

@@ -45,6 +45,7 @@ HEADLINE = [
     "impute_ffill_limit",
     "impute_group_mean",
     "impute_knn",
+    "impute_knn_lsh",
     "impute_iterative",
     "assemble_context",
     "conversation_text",
