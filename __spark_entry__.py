@@ -568,6 +568,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scale_robust"] = scale_robust
 
+    # three consecutive fitted scalers on DISJOINT columns: Recipe.prep
+    # fuses their fits into ONE df.agg scan (VERDICT r5 #2) — this
+    # query drives the FUSED path through the hash gate (the solo-step
+    # scale_* queries above never trigger fusion)
+    def scale_chain_fused(s, d):
+        li = _t(s, d, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity",
+            "l_discount",
+        )
+        rec = (
+            Recipe(li, predictors=["l_extendedprice", "l_quantity", "l_discount"])
+            .add_step(StepScale(sel=all_of(["l_extendedprice"])))
+            .add_step(StepMinMaxScale(sel=all_of(["l_quantity"])))
+            .add_step(StepRobustScale(sel=all_of(["l_discount"]), exact=True))
+        )
+        return rec.prep().select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").alias("price_std"),
+            F.col("l_quantity").alias("qty_mm"),
+            F.col("l_discount").alias("disc_rb"),
+        )
+
+    q["scale_chain_fused"] = scale_chain_fused
+
     def kbins(s, d):
         li = _t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
         rec = Recipe(li, predictors=["l_extendedprice"])
@@ -1527,6 +1552,9 @@ _DEFER_TO_BACK = [
     "multimodal_jpeg_decode",
     "multimodal_video_decode",
     "warc_extract",
+    # scale_chain_fused (round 6, drives the fused-fit path through the
+    # gate) takes the slot of r04+r05 double-green spline_basis
+    "spline_basis",
 ]
 
 _DRIVER_WINDOW = 50
@@ -1951,6 +1979,19 @@ def oracle_sql() -> dict[str, str]:
         "(l_extendedprice - quantile_cont(l_extendedprice, 0.5) OVER ()) "
         "/ (quantile_cont(l_extendedprice, 0.75) OVER () "
         "- quantile_cont(l_extendedprice, 0.25) OVER ()) AS price_robust "
+        "FROM lineitem"
+    )
+    # the fused 3-scaler chain: all three fits read the UNTRANSFORMED
+    # table (disjoint columns), exactly what the one fused agg computes
+    o["scale_chain_fused"] = (
+        "SELECT l_orderkey, l_linenumber, "
+        f"(l_extendedprice - {sql_det_mean('l_extendedprice', 'OVER ()')}) "
+        f"/ {sql_det_stddev_pop('l_extendedprice', 'OVER ()')} AS price_std, "
+        "(l_quantity - min(l_quantity) OVER ()) "
+        "/ (max(l_quantity) OVER () - min(l_quantity) OVER ()) AS qty_mm, "
+        "(l_discount - quantile_cont(l_discount, 0.5) OVER ()) "
+        "/ (quantile_cont(l_discount, 0.75) OVER () "
+        "- quantile_cont(l_discount, 0.25) OVER ()) AS disc_rb "
         "FROM lineitem"
     )
     o["kbins_uniform"] = (
