@@ -100,6 +100,21 @@ BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1000000"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
+def cpu_burn() -> float:
+    """Wall seconds for a FIXED single-thread arithmetic burn — a
+    code-independent host-health probe. On a quiet window this box does
+    it in ~1.5-2 s; hypervisor-steal episodes stretch it arbitrarily.
+    Taken before and after the suite and emitted in the JSON so the
+    artifact carries its own evidence of the window it ran in (the
+    bake has measured 2.7 s and 172 s for identical code in one day)."""
+    t0 = time.time()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i ^ (i >> 3)
+    assert acc != 0
+    return round(time.time() - t0, 3)
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -165,6 +180,7 @@ def main() -> None:
     spark = get_spark(parallelism=cpus, app_name="recipys_spark_bench",
                       shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
+    burn_start = cpu_burn()
 
     # JVM/codegen warmup so the first timed query isn't charged for it;
     # its wall goes into the JSON — a slow warmup flags a bad host
@@ -210,6 +226,7 @@ def main() -> None:
         "bands": bands,
         "warmup_sec": warmup_sec,
         "bake_warmup_sec": bake_warmup_sec,
+        "cpu_burn_sec": [burn_start, cpu_burn()],
         "repeats": REPEATS,
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "cpus": cpus,
