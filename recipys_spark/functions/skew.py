@@ -547,6 +547,8 @@ def group_size_stats(df: DataFrame, groups: Sequence[str], sequence: str) -> dic
         F.max("__n").alias("max_rows"),
         F.percentile_approx("__n", F.array(F.lit(0.5), F.lit(0.99)), F.lit(10_000)).alias("q"),
         F.max_by("__span", "__n").alias("max_span"),
+        F.sum("__n").alias("total_rows"),  # free in the same pass —
+        # saves callers (plans/advisor.py) a second full-table count
     ).first()
     return {
         "n_groups": row.n_groups,
@@ -554,6 +556,7 @@ def group_size_stats(df: DataFrame, groups: Sequence[str], sequence: str) -> dic
         "p99_rows": int(row.q[1]),
         "max_rows": int(row.max_rows),
         "max_group_span": float(row.max_span) if row.max_span is not None else 0.0,
+        "total_rows": int(row.total_rows),
     }
 
 

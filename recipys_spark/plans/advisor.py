@@ -95,11 +95,8 @@ def recommend_pipeline_config(
 
     stats: dict
     if groups and seqs:
+        # one pass: total_rows comes out of the same group-count agg
         stats = dict(group_size_stats(df, groups, seqs[0]))
-        # the probe's group-count table also yields the exact row count
-        # (sum of group sizes) — but summing was not aggregated there,
-        # so count once; cheap next to any windowed step
-        stats["total_rows"] = df.count()
     else:
         stats = {"total_rows": df.count()}
 
