@@ -58,6 +58,7 @@ HEADLINE = [
     "time_rollup",
     "range_join_events",
     "scale_standard",
+    "scale_chain_fused",
     "ordinal_encode",
     "log1p_transform",
     "polynomial_features",
