@@ -62,8 +62,14 @@ def streaming_resample(
         }
     secs = parse_resolution(new_resolution)
     dtype = dict(stream.dtypes)[ts_col]
-    if dtype not in ("timestamp", "timestamp_ntz", "date"):
-        raise ValueError(f"Expected a temporal sequence column, got {dtype}")
+    if dtype not in ("timestamp", "timestamp_ntz"):
+        # stricter than the batch step (which also takes DATE): both
+        # withWatermark and F.window require a timestamp — cast a date
+        # column upstream if a daily grid is really wanted on a stream
+        raise ValueError(
+            f"Expected a temporal (timestamp) sequence column, got {dtype}; "
+            "cast DATE columns to timestamp upstream of the stream"
+        )
     aggs = [
         _bucket_agg(c, fun, ts_col).alias(c) for c, fun in col_acc_map.items()
     ]

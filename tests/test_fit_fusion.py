@@ -163,3 +163,23 @@ def test_prep_equals_bake_after_fused_fit(spark, frame):
     prep_vals = _vals(rec.prep(), ["y", "x1"])
     bake_vals = _vals(rec.bake(frame), ["y", "x1"])
     assert prep_vals == bake_vals
+
+
+def test_refit_refuses_stale_state_and_fuses_again(spark, frame, monkeypatch):
+    """prep(refit=True) on an already-fitted recipe must re-run the
+    fused fit (one agg) and land on the same state as the first fit."""
+    rec = (
+        Recipe(frame, predictors=["y", "x1"], groups="id", sequences="time")
+        .add_step(StepScale(sel=all_of(["y"])))
+        .add_step(StepMinMaxScale(sel=all_of(["x1"])))
+    )
+    rec.prep()
+    first = [dict(s.state) for s in rec.steps]
+    spy = AggSpy(monkeypatch)
+    rec.prep(refit=True)
+    assert spy.calls == 1
+    assert [dict(s.state) for s in rec.steps] == first
+    # without refit, trained steps replay frozen state: zero fit jobs
+    spy2 = AggSpy(monkeypatch)
+    rec.prep()
+    assert spy2.calls == 0
