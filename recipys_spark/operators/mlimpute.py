@@ -235,6 +235,7 @@ def knn_impute_lsh(
     weights=None,
     multiprobe: bool = True,
     pool_cap: Optional[int] = None,
+    bucket_cap: Optional[int] = None,
 ) -> DataFrame:
     """LSH-shortlisted KNN impute — the 100 TB tier of
     :func:`knn_impute_join` (VERDICT r5 #3): donors are bucketed by a
@@ -262,7 +263,11 @@ def knn_impute_lsh(
     Scale shape: one aggregation for the means (broadcast, one row),
     one shuffle for the bucket join, one for the per-probe top-k
     window, one for the final left join — no driver collect, no
-    crossJoin on unbounded sides."""
+    crossJoin on unbounded sides. ``bucket_cap`` bounds donors PER
+    BUCKET (deterministic md5-coin top-k): on clustered data one hot
+    signature bucket can hold most of the pool and restore O(pool)
+    per-probe fan-out — the cap makes worst-case join cost
+    O(probes × bucket_cap × (planes+1)) regardless of skew."""
     feats = list(feature_cols)
     if target_col not in feats:
         raise ValueError("target_col must be one of feature_cols")
@@ -317,6 +322,22 @@ def knn_impute_lsh(
         F.col(target_col).cast("double").alias("__dval"),
         *[F.col(c).alias(f"__d_{c}") for c in feats],
     )
+    if bucket_cap is not None:
+        # hot-bucket guard for clustered data at 100 TB: one signature
+        # bucket holding most donors would restore O(pool) per-probe
+        # fan-out. Keep a deterministic md5-coin top-k PER BUCKET —
+        # same donors at any partitioning; recall within the hot bucket
+        # degrades gracefully (the kept subset is an unbiased sample)
+        from pyspark.sql import Window as _W
+
+        bw = _W.partitionBy("__dsig").orderBy(
+            md5_long(F.col("__did"), seed + 1), "__did"
+        )
+        pool = (
+            pool.withColumn("__brn", F.row_number().over(bw))
+            .where(F.col("__brn") <= int(bucket_cap))
+            .drop("__brn")
+        )
     probes = base.where(F.col(target_col).isNull()).select(
         id_col, *feats, sig.alias("__psig")
     )

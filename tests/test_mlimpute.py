@@ -480,3 +480,36 @@ def test_knn_lsh_rejects_no_projection_features(spark):
     df = spark.createDataFrame([(0, 1.0)], ["rid", "t"])
     with pytest.raises(ValueError, match="non-target"):
         knn_impute_lsh(df, ["t"], target_col="t", id_col="rid")
+
+
+def test_knn_lsh_bucket_cap_bounds_hot_buckets(spark):
+    """bucket_cap keeps a deterministic per-bucket donor subset: with a
+    cap >= pool it is a no-op (bit-identical output); with a small cap
+    every probe still gets imputed, at any partitioning."""
+    from recipys_spark.operators.mlimpute import knn_impute_lsh
+
+    X = _frame(n=120, miss=0.25, seed=11)
+    df, cols = _to_spark(spark, X)
+    kw = dict(target_col="x2", id_col="rid", n_neighbors=5, n_planes=1)
+    uncapped = {
+        r["rid"]: r["x2"] for r in knn_impute_lsh(df, cols, **kw).collect()
+    }
+    nocap_eq = {
+        r["rid"]: r["x2"]
+        for r in knn_impute_lsh(df, cols, bucket_cap=10_000, **kw).collect()
+    }
+    assert nocap_eq == uncapped  # cap above pool size: no-op
+    for parts in (2, 7):
+        capped = {
+            r["rid"]: r["x2"]
+            for r in knn_impute_lsh(
+                df.repartition(parts), cols, bucket_cap=8, **kw
+            ).collect()
+        }
+        assert len(capped) == 120
+        missing = [i for i in range(120) if np.isnan(X[i, 2])]
+        assert all(capped[i] is not None for i in missing)
+        if parts == 2:
+            first = capped
+        else:
+            assert capped == first  # partitioning-invariant under the cap
