@@ -139,21 +139,17 @@ def band(walls: list) -> list:
     return [round(walls[0], 3), round(walls[len(walls) // 2], 3), round(walls[-1], 3)]
 
 
-def median_time(make_df, repeats: int = REPEATS) -> list:
+def timed_walls(make_df, repeats: int = REPEATS) -> list:
     """Sorted walls of `repeats` timed noop materializations; the plan
     is rebuilt per run so fit jobs (fitted steps re-aggregate) are
-    charged consistently every time. Headline scalar = the median."""
-    return _walls(make_df, repeats)
+    charged consistently every time.
 
-
-def best_time(make_df, repeats: int) -> list:
-    """Sorted walls — headline scalar = the MIN, the steady-state
-    estimator for LONG jobs on this host-overcommitted VM, same
-    rationale as the scaling bench (bench_scaling.py): hypervisor
-    CPU-steal episodes are one-sided and can outlast a whole median
-    window (observed: the identical bake at 13.4 s and 194 s within one
-    session, steal ~1% between episodes). Short per-query timings keep
-    the median; the multi-ten-second bake takes the min."""
+    Scalar choice is the CALLER's: short per-query timings take the
+    MEDIAN (walls[len//2]); the multi-ten-second bake takes the MIN —
+    the steady-state estimator for long jobs on this host-overcommitted
+    VM (hypervisor CPU-steal episodes are one-sided and can outlast a
+    whole median window; the identical bake has measured 13.4 s and
+    194 s within one session)."""
     return _walls(make_df, repeats)
 
 
@@ -194,7 +190,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     bands: dict[str, list] = {}
     for name in HEADLINE:
-        walls = median_time(lambda: queries[name](spark, sf_dir))
+        walls = timed_walls(lambda: queries[name](spark, sf_dir))
         timings[name] = round(walls[len(walls) // 2], 3)
         bands[name] = band(walls)
 
@@ -213,7 +209,7 @@ def main() -> None:
     tw0 = time.time()
     materialize(bake_recipe(tdf))
     bake_warmup_sec = round(time.time() - tw0, 3)
-    bake_walls = best_time(lambda: bake_recipe(tdf), repeats=max(REPEATS, 4))
+    bake_walls = timed_walls(lambda: bake_recipe(tdf), repeats=max(REPEATS, 4))
     bake_s = bake_walls[0]
     timings["recipe_bake_transcripts"] = round(bake_s, 3)
     bands["recipe_bake_transcripts"] = band(bake_walls)

@@ -44,17 +44,19 @@ def main() -> None:
         F.col("target_uri").alias("url"),
         html_to_text(F.col("body").cast("string")).alias("text"),
     )
-    print(f"== ingest == {archives.count()} archives -> {docs.count()} documents")
-
     # sizing report before the shuffle-heavy curation tiers: total rows
-    # drive the shuffle-partition count every dedup groupBy will use
+    # drive the shuffle-partition count every dedup groupBy will use.
+    # The advisor's probe IS the document count — don't run the
+    # WARC-parse + HTML-extraction pipeline a second time just to print
+    # the same number (at 100 TB that would be a duplicated full scan)
     from recipys_spark.plans.advisor import recommend_pipeline_config
 
     cfg = recommend_pipeline_config(docs, apply=True)
     print(
-        f"== pipeline sizing == rows={cfg['stats']['total_rows']}, "
-        f"shuffle_partitions={cfg['shuffle_partitions']}"
+        f"== ingest == {archives.count()} archives -> "
+        f"{cfg['stats']['total_rows']} documents"
     )
+    print(f"== pipeline sizing == shuffle_partitions={cfg['shuffle_partitions']}")
 
     # -- 2. URL-level filtering ----------------------------------------
     with_urls = url_features(docs)

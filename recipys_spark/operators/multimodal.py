@@ -400,7 +400,10 @@ def parse_png_meta(payload: bytes) -> tuple:
     body at byte 16). Raises on non-PNG input."""
     import struct
 
-    if len(payload) < 24 or payload[:8] != PNG_MAGIC:
+    # IHDR body needs bytes 16..26 (>IIBB = 10): guard the full range so
+    # a truncated payload raises the family's ValueError, not a raw
+    # struct.error out of the Arrow worker
+    if len(payload) < 26 or payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG payload")
     if payload[12:16] != b"IHDR":
         raise ValueError("PNG missing leading IHDR chunk")

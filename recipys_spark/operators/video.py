@@ -168,6 +168,15 @@ def parse_avi(payload: bytes) -> dict:
                             "MJPG (per-frame baseline JPEG) decodes without "
                             "external codec libraries"
                         )
+                    if handler_ok:
+                        # a SECOND vids stream would otherwise lose all
+                        # its frames silently (only stream-00 chunks are
+                        # collected below) — raise per the contract
+                        raise ValueError(
+                            "multiple 'vids' streams in AVI: only a "
+                            "single MJPG video stream (stream 00) is "
+                            "supported"
+                        )
                     handler_ok = True
                     scale, rate = struct.unpack_from("<2I", payload, b0 + 20)
                     if scale:

@@ -174,7 +174,10 @@ class Recipe:
         column an earlier batch member rewrites, and resolves to the
         SAME column set against the batch's post-transform schema (a
         dtype-keyed selector could otherwise pick up columns an earlier
-        scaler casts to double). All checks are lazy — no Spark job.
+        scaler casts to double). The checks themselves are lazy, but a
+        candidate's ``fit_agg_plan`` may launch its own memoized
+        row-count probe (quantile steps resolving exact-vs-sketch) —
+        the same job its solo fit would run, shared across the batch.
 
         Returns [(step, exprs, consume), ...]."""
         from pyspark.sql import functions as F

@@ -56,10 +56,19 @@ def streaming_resample(
     resolution controls."""
     groups = list(group_cols)
     keys = set(groups) | {ts_col}
-    if col_acc_map is None:
-        col_acc_map = {
-            c: default_accumulator for c in stream.columns if c not in keys
-        }
+    # batch StepResampling semantics (do_fit): every non-key column gets
+    # an accumulator — explicit mappings win, the rest DEFAULT. A
+    # partial map must not silently drop the unmapped columns.
+    full_map = {c: default_accumulator for c in stream.columns if c not in keys}
+    if col_acc_map is not None:
+        unknown = sorted(set(col_acc_map) - set(full_map))
+        if unknown:
+            raise ValueError(
+                f"col_acc_map names non-value columns {unknown} "
+                f"(keys: {sorted(keys)}; value columns: {sorted(full_map)})"
+            )
+        full_map.update(col_acc_map)
+    col_acc_map = full_map
     secs = parse_resolution(new_resolution)
     dtype = dict(stream.dtypes)[ts_col]
     if dtype not in ("timestamp", "timestamp_ntz"):

@@ -450,3 +450,25 @@ def test_bake_stream_rejection_names_streaming_resample(spark, transcript_dir):
     stream = spark.readStream.schema(batch.schema).parquet(transcript_dir)
     with pytest.raises(ValueError, match="streaming_resample"):
         rec.bake_stream(stream)
+
+
+def test_streaming_resample_partial_map_defaults_unmapped_columns(
+    spark, transcript_dir
+):
+    """Review fix: a PARTIAL col_acc_map must leave unmapped value
+    columns in the output under default_accumulator (batch StepResampling
+    semantics), not silently drop them; unknown columns raise."""
+    from recipys_spark.streaming.resample import streaming_resample
+
+    batch = spark.read.parquet(transcript_dir).select(
+        "conv_id", "ts", "turn_idx", "value"
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(transcript_dir).select(
+        "conv_id", "ts", "turn_idx", "value"
+    )
+    out = streaming_resample(
+        stream, new_resolution="2h", col_acc_map={"value": Accumulator.MEAN}
+    )
+    assert "turn_idx" in out.columns  # defaulted (LAST), not dropped
+    with pytest.raises(ValueError, match="non-value columns"):
+        streaming_resample(stream, col_acc_map={"nope": Accumulator.MEAN})

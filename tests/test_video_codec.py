@@ -165,3 +165,54 @@ def test_frame_grid_matches_decoded_timestamps(spark):
         for r in extract_frame_features(odd).collect()
     }
     assert grid == decoded
+
+
+def test_parse_avi_rejects_second_vids_stream():
+    """Review fix: a second MJPG vids stream would silently lose all
+    its frames (only stream-00 chunks are collected) — must raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from recipys_spark.operators.video import (
+        AVI_FORM,
+        RIFF_MAGIC,
+        _chunk,
+        _list,
+        encode_avi_mjpeg,
+        parse_avi,
+    )
+
+    base = encode_avi_mjpeg([np.zeros((8, 8), dtype=np.uint8)] * 2, fps=5)
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHI", 0, 0, 0, 0)
+        + struct.pack("<2I", 1, 5)
+        + struct.pack("<5I", 0, 2, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, 8, 8)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, 8, 8, 1, 24, b"MJPG", 192, 0, 0, 0, 0)
+    extra = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    # splice a second vids strl right before the movi list
+    movi_at = base.find(b"LIST", 12)
+    while base[movi_at + 8 : movi_at + 12] != b"movi":
+        movi_at = base.find(b"LIST", movi_at + 4)
+    doctored = base[:movi_at] + extra + base[movi_at:]
+    body_len = len(doctored) - 8
+    doctored = RIFF_MAGIC + struct.pack("<I", body_len) + doctored[8:]
+    assert doctored[8:12] == AVI_FORM
+    with pytest.raises(ValueError, match="multiple 'vids'"):
+        parse_avi(doctored)
+
+
+def test_parse_png_meta_truncated_raises_valueerror():
+    """Review fix: a 25-byte truncated IHDR must raise the family's
+    ValueError, never a raw struct.error out of the Arrow worker."""
+    import pytest
+
+    from recipys_spark.operators.multimodal import PNG_MAGIC, parse_png_meta
+
+    truncated = PNG_MAGIC + b"\x00\x00\x00\x0dIHDR" + b"\x00" * 9  # 25 bytes
+    with pytest.raises(ValueError, match="PNG"):
+        parse_png_meta(truncated)
