@@ -99,6 +99,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan_scan(spark: SparkSession, df: DataFrame, *keys: str) -> DataFrame:
+    """Fan an unsplittable scan out to the session's core count
+    (guide §2.5 "input skew: one huge unsplittable file → repartition
+    immediately after the read").
+
+    The driver tables are single-row-group parquet files, so every
+    scan-rooted narrow chain otherwise executes in ONE task no matter
+    how many cores the session has — at sf1.0 that pinned the pure-
+    codegen text queries to a single core for seconds each. The
+    repartition is HASH partitioning on a high-cardinality key (a
+    keyless round-robin repartition first pays a defensive local sort
+    of its entire input — spark.sql.execution.sortBeforeRepartition —
+    which on a single-partition input is one more single-task pass),
+    and the width is the session's default parallelism, never a
+    constant, so the same code sizes itself to any cluster. Only
+    applied when the scan has fewer partitions than cores: production
+    inputs with many row groups/files fan naturally and skip the extra
+    exchange (one small shuffle of the input only where the
+    alternative is a serial stage). Results are partitioning-invariant
+    everywhere this is used."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def _events_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events + value_n: value with nulls injected at event_id%7==0
     (the driver tables carry no nulls; fills need them)."""
@@ -230,10 +256,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def impute_knn(s, d):
         from recipys_spark.operators.mlimpute import knn_impute_join
 
-        # fan the single-file testdata scan: the missing×pool pair build
-        # + per-event top-k otherwise runs in ONE task (the
-        # dedup_paragraphs treatment). Results are partitioning-invariant.
-        ev = _events_with_nulls(s, d).repartition(32).select(
+        # fan the single-file testdata scan: the per-event distance
+        # sweep otherwise runs in ONE task (the dedup_paragraphs
+        # treatment). HASH partitioning on the unique id (not round-
+        # robin, which pays a defensive local sort of the whole input —
+        # guide §2.5), sized to the session's core count. Results are
+        # partitioning-invariant.
+        ev = _fan_scan(s, _events_with_nulls(s, d), "event_id").select(
             "event_id",
             F.col("value_n").alias("f1"),
             (F.col("value") * 0.5 + (F.col("user_id") % 10).cast("double")).alias(
@@ -275,7 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def impute_knn_lsh(s, d):
         from recipys_spark.operators.mlimpute import knn_impute_lsh
 
-        ev = _events_with_nulls(s, d).repartition(32).select(
+        ev = _fan_scan(s, _events_with_nulls(s, d), "event_id").select(
             "event_id",
             F.col("value_n").alias("f1"),
             (F.col("value") * 0.5 + (F.col("user_id") % 10).cast("double")).alias(

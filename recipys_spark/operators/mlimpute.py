@@ -142,6 +142,128 @@ def _exact_mean(values) -> float:
 # ---------------------------------------------------------------------------
 
 
+def _collected_pool_fill(
+    probe_df: DataFrame,
+    out_cols,
+    feats,
+    target_col: str,
+    id_col: str,
+    n_neighbors: int,
+    pool_rows,
+    cmean,
+    psig_col: Optional[str] = None,
+    n_planes: int = 0,
+    multiprobe: bool = True,
+    chunk: int = 2048,
+) -> DataFrame:
+    """Shared Arrow-tier KNN-impute core for a BOUNDED donor pool
+    (``pool_rows``: the collected ≤pool_cap donor rows — the fit-time
+    bounded-collect pattern of StepImputeKNN).
+
+    One ``mapInPandas`` over the probe frame replaces the join tier's
+    probe×donor pair materialization + per-probe row_number window +
+    re-join — at sf1.0 that plan was 18 exchanges and a 7×10⁷-row
+    map-side sort; this is zero exchanges and vectorized numpy per
+    batch (guide §2.4 aggregate-before-shuffle, §4.2 native code inside
+    the UDF, §8 move-heavy-bytes-once). Arithmetic is the pinned
+    numpy mirror of the JVM expressions — ``_dist2_numpy`` reproduces
+    ``_dist2_exprs`` bit-for-bit, the neighbor order is the same
+    (dist², donor_id) total order via ``np.lexsort``, and the neighbor
+    mean is ``_exact_mean`` (the decimal mirror of det_mean) — so the
+    output is bit-identical to the join plan (parity pinned by tests).
+
+    ``psig_col`` enables the LSH shortlist: donors whose collected
+    ``__dsig`` is outside the probe's multiprobe bucket set (sig plus
+    Hamming-1 neighbors when ``multiprobe``) are excluded per row,
+    mirroring the bucket-equality join condition."""
+    feats = list(feats)
+    tj = feats.index(target_col)
+    m = len(pool_rows)
+    d = len(feats)
+    P = np.full((m, d), np.nan, dtype=np.float64)
+    dids = np.empty(m, dtype=np.int64)
+    dvals = np.empty(m, dtype=np.float64)
+    dsigs = np.empty(m, dtype=np.int64) if psig_col is not None else None
+    for i, row in enumerate(pool_rows):
+        dids[i] = row["__did"]
+        dvals[i] = row["__dval"]
+        if dsigs is not None:
+            dsigs[i] = row["__dsig"]
+        for j, c in enumerate(feats):
+            v = row[f"__d_{c}"]
+            if v is not None:
+                P[i, j] = float(v)
+    k = int(n_neighbors)
+    # Pre-quantize each donor value ONCE to a scale-18 integer (exact:
+    # the same HALF_UP quantize _exact_mean applies per element). A
+    # sum of scale-18 decimals IS the integer sum at scale 18, and
+    # Python ints are arbitrary-precision, so per-row neighbor means
+    # reduce to summing k small ints — same float result bit-for-bit
+    # as _exact_mean, without re-building k Decimals per missing row.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    _q = Decimal(1).scaleb(-18)
+    dq = [
+        int(
+            Decimal(repr(float(v)))
+            .quantize(_q, rounding=ROUND_HALF_UP)
+            .scaleb(18)
+        )
+        for v in dvals
+    ]
+    schema = probe_df.schema
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        if f.name != target_col
+        else f"`{f.name}` double"
+        for f in schema.fields
+        if f.name in out_cols
+    )
+    probe_bits = (
+        np.int64(1) << np.arange(n_planes, dtype=np.int64)
+        if psig_col is not None and multiprobe
+        else np.zeros(0, dtype=np.int64)
+    )
+
+    def impute(batches):
+        for pdf in batches:
+            X = pdf[feats].to_numpy(dtype=np.float64, copy=True)
+            ids = pdf[id_col].to_numpy()
+            psig = (
+                pdf[psig_col].to_numpy(dtype=np.int64)
+                if psig_col is not None
+                else None
+            )
+            tcol = X[:, tj].copy()
+            miss = np.where(np.isnan(tcol))[0]
+            for lo in range(0, len(miss), chunk):
+                rows = miss[lo : lo + chunk]
+                D2 = _dist2_numpy(X[rows], P)
+                for ri, r in enumerate(rows):
+                    ok = np.isfinite(D2[ri]) & (dids != ids[r])
+                    if psig is not None:
+                        allowed = np.concatenate(
+                            ([psig[r]], psig[r] ^ probe_bits)
+                        )
+                        ok &= np.isin(dsigs, allowed)
+                    cand = np.where(ok)[0]
+                    if len(cand) == 0:
+                        if cmean is not None:
+                            tcol[r] = cmean
+                        continue
+                    order = np.lexsort((dids[cand], D2[ri, cand]))
+                    take = cand[order[:k]]
+                    tot = 0
+                    for t in take:
+                        tot += dq[t]
+                    tcol[r] = float(Decimal(tot).scaleb(-18)) / len(take)
+            res = pdf[[c for c in out_cols]].copy()
+            res[target_col] = tcol
+            yield res
+
+    return probe_df.mapInPandas(impute, schema=out_fields)
+
+
 def knn_impute_join(
     df: DataFrame,
     feature_cols,
@@ -183,6 +305,21 @@ def knn_impute_join(
         F.col(target_col).cast("double").alias("__dval"),
         *[F.col(c).alias(f"__d_{c}") for c in feats],
     )
+    if pool_cap is not None:
+        # bounded pool ⇒ zero-shuffle Arrow tier: collect the ≤pool_cap
+        # donors (the StepImputeKNN fit-time bounded-collect pattern)
+        # and impute in one vectorized mapInPandas — see
+        # _collected_pool_fill. The join plan below remains the
+        # unbounded-pool path (collecting an unbounded pool would
+        # violate the no-unbounded-collect rule).
+        pool_rows = pool.collect()
+        cmean = df.agg(det_mean(F.col(target_col)).alias("__cmean")).first()[
+            "__cmean"
+        ]
+        return _collected_pool_fill(
+            df, df.columns, feats, target_col, id_col, n_neighbors,
+            pool_rows, cmean,
+        )
     missing = df.where(F.col(target_col).isNull()).select(id_col, *feats)
     dist2, npres = _dist2_exprs(
         [F.col(c) for c in feats], [F.col(f"__d_{c}") for c in feats]
@@ -279,6 +416,18 @@ def knn_impute_lsh(
         )
     if n_planes < 1 or n_planes > 62:
         raise ValueError("n_planes must be in [1, 62]")
+    if weights is not None:
+        # a shape mismatch would null-pad the projection and silently
+        # pin that plane's bit to 0 for every row (degenerate buckets,
+        # divergent oracle) — fail loudly instead (ADVICE r6)
+        if len(weights) != n_planes or any(
+            len(w) != len(proj) for w in weights
+        ):
+            raise ValueError(
+                f"weights must be an {n_planes}×{len(proj)} matrix "
+                "(n_planes × non-target features); got "
+                f"{len(weights)}×{[len(w) for w in weights]}"
+            )
     from pyspark.sql import Window
 
     from recipys_spark.functions.deterministic import det_mean
@@ -337,6 +486,26 @@ def knn_impute_lsh(
             pool.withColumn("__brn", F.row_number().over(bw))
             .where(F.col("__brn") <= int(bucket_cap))
             .drop("__brn")
+        )
+    if pool_cap is not None:
+        # bounded pool ⇒ zero-shuffle Arrow tier (see
+        # _collected_pool_fill): the bucket-membership join condition
+        # becomes a per-row shortlist filter on the probe's multiprobe
+        # bucket set — identical candidate set (probe buckets are
+        # distinct by construction, a donor matches at most once),
+        # identical arithmetic, no bucket/window/re-join exchanges.
+        # Donor signatures are JVM-computed in the collected pool and
+        # the probe signature rides along as a column, so bucketing
+        # bits come from the exact expression form on both sides.
+        pool_rows = pool.collect()
+        cmean = means.first()["__cmean"]
+        probe = base.withColumn("__psig", sig).select(
+            *df.columns, "__psig"
+        )
+        return _collected_pool_fill(
+            probe, df.columns, feats, target_col, id_col, n_neighbors,
+            pool_rows, cmean, psig_col="__psig", n_planes=n_planes,
+            multiprobe=multiprobe,
         )
     probes = base.where(F.col(target_col).isNull()).select(
         id_col, *feats, sig.alias("__psig")

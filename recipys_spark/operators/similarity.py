@@ -193,26 +193,37 @@ def hyperplane_signature(emb_col, n_planes: int, dim: int, seed: int = 42,
     seed) — reproducible on any cluster size with no side data. Pass
     ``weights`` (n_planes × dim, e.g. from ``hyperplane_weights``) to
     inline explicit literal planes instead — the SQL-mirrorable form
-    (the DuckDB oracle reproduces buckets from the same literals)."""
+    (the DuckDB oracle reproduces buckets from the same literals).
+
+    The projection is UNROLLED into plain arithmetic (0.0 + x₀·w₀ +
+    x₁·w₁ + …) instead of a zip_with/aggregate higher-order pair:
+    higher-order lambdas are interpreted per element per row (no
+    whole-stage codegen), which made the signature the hottest
+    expression in the LSH impute at bench scale. The unrolled sum has
+    the identical left-to-right tree (same initial 0.0, same element
+    order) so every projection double — and therefore every sign bit —
+    is bit-identical to the aggregate form and to the SQL mirrors.
+    ``F.get`` (NULL on out-of-range, even under ANSI) reproduces
+    zip_with's null-padding on a short embedding: a NULL element nulls
+    the projection, and a NULL projection sets no bit in both forms."""
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         if weights is not None:
-            warr = F.array(*[F.lit(float(x)) for x in weights[p]])
+            ws = [F.lit(float(x)) for x in weights[p]]
         else:
-            warr = F.array(
-                *[
-                    F.when(
-                        F.pmod(F.xxhash64(F.lit(p), F.lit(i), F.lit(seed)), F.lit(2)) == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0))
-                    for i in range(dim)
-                ]
-            )
-        proj = F.aggregate(
-            F.zip_with(emb_col, warr, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+            ws = [
+                F.when(
+                    F.pmod(F.xxhash64(F.lit(p), F.lit(i), F.lit(seed)), F.lit(2)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                for i in range(dim)
+            ]
+        proj = F.lit(0.0)
+        for i, w in enumerate(ws):
+            proj = proj + F.get(emb_col, i).cast("double") * w
+        # zip_with pads to the LONGER array, so an over-length embedding
+        # nulled the projection (no bit); keep that exact behavior
+        proj = F.when(F.size(emb_col) <= F.lit(len(ws)), proj)
         sig = sig + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     # NULL embedding → NULL signature (matches hyperplane_signature_udf;
     # without the guard a null projection would fall to every otherwise(0)
