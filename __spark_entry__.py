@@ -829,8 +829,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # vectorized=True: one Arrow numpy sweep per doc instead of 32
     # interpreted transform/array_min passes over md5-conv structs —
     # bit-identical signatures (pinned by tests), same DuckDB oracle.
+    # _fan_scan: the signature pandas_udf otherwise runs in ONE Python
+    # worker over the single-row-group scan (measured linear-in-rows at
+    # sf1.0 — a serial stage on a 32-core box)
     q["dedup_minhash_lsh"] = lambda s, d: minhash_lsh_pairs(
-        _t(s, d, "documents"), num_hashes=32, bands=4, threshold=0.8,
+        _fan_scan(s, _t(s, d, "documents"), "doc_id"),
+        num_hashes=32, bands=4, threshold=0.8,
         hash_family="md5", vectorized=True,
     )
     # vectorized=True: the Arrow simhash path (bit-identical to the
@@ -838,7 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # measured 7x faster at sf0.1 (4.38s -> 0.63s). md5 hash family →
     # full DuckDB mirror.
     q["dedup_simhash"] = lambda s, d: simhash_clusters(
-        _t(s, d, "documents"), vectorized=True, hash_family="md5"
+        _fan_scan(s, _t(s, d, "documents"), "doc_id"),
+        vectorized=True, hash_family="md5",
     )
 
     # -- hypertable-style multi-grain rollup: ONE grouping-sets pass
@@ -847,7 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from recipys_spark.operators.timeseries import time_rollup
 
         return time_rollup(
-            _t(s, d, "events"),
+            _fan_scan(s, _t(s, d, "events"), "event_id"),
             ts_col="ts",
             group_cols=["user_id"],
             grains=("day", "hour"),
@@ -883,7 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from recipys_spark.operators.corpus import clean_corpus
 
         return clean_corpus(
-            _t(s, d, "documents"),
+            _fan_scan(s, _t(s, d, "documents"), "doc_id"),
             min_tokens=5,
             min_quality=0.2,
             bands=4,
@@ -920,7 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ngram_decontaminate,
         )
 
-        docs = _t(s, d, "documents").repartition(32)
+        docs = _fan_scan(s, _t(s, d, "documents"), "doc_id")
         cleaned = clean_corpus(
             docs,
             min_tokens=5,
@@ -956,7 +961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from recipys_spark.operators.fingerprint import winnow_fingerprints
 
         return winnow_fingerprints(
-            _t(s, d, "documents"), k=8, window=4, hash_family="md5"
+            _fan_scan(s, _t(s, d, "documents"), "doc_id"),
+            k=8, window=4, hash_family="md5",
         )
 
     q["winnow_fingerprint"] = winnow_fp
@@ -965,7 +971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from recipys_spark.operators.fingerprint import winnow_overlap_pairs
 
         return winnow_overlap_pairs(
-            _t(s, d, "documents"), k=8, window=4, min_shared=2, max_df=100,
+            _fan_scan(s, _t(s, d, "documents"), "doc_id"),
+            k=8, window=4, min_shared=2, max_df=100,
             hash_family="md5",
         )
 
@@ -973,7 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- text analysis ---------------------------------------------------------
     def text_features(s, d):
-        docs = _t(s, d, "documents")
+        docs = _fan_scan(s, _t(s, d, "documents"), "doc_id")
         c = F.col("text")
         return docs.select(
             "doc_id",
@@ -988,7 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_features"] = text_features
 
     def token_histogram(s, d):
-        docs = _t(s, d, "documents")
+        docs = _fan_scan(s, _t(s, d, "documents"), "doc_id")
         return (
             docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
             .groupBy("token")
@@ -1000,7 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # BPE-ish pre-tokenization counts (the LLM-pipeline token basis;
     # whitespace counts underestimate code/punctuation-heavy text)
     def bpe_tokens(s, d):
-        docs = _t(s, d, "documents")
+        docs = _fan_scan(s, _t(s, d, "documents"), "doc_id")
         return docs.select(
             "doc_id",
             TX.token_count(F.col("text")).alias("n_ws"),
@@ -1014,7 +1021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def unigram_lm(s, d):
         from recipys_spark.operators.textstats import unigram_logprob_scores
 
-        return unigram_logprob_scores(_t(s, d, "documents"))
+        return unigram_logprob_scores(
+            _fan_scan(s, _t(s, d, "documents"), "doc_id")
+        )
 
     q["unigram_logprob"] = unigram_lm
 
@@ -1022,7 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def gopher(s, d):
         from recipys_spark.operators.textstats import gopher_signals
 
-        return gopher_signals(_t(s, d, "documents"))
+        return gopher_signals(_fan_scan(s, _t(s, d, "documents"), "doc_id"))
 
     q["gopher_signals"] = gopher
 
@@ -1031,7 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # contain no PII, so the query builds its own — identically in
     # both engines)
     def text_scrub(s, d):
-        ev = _t(s, d, "events")
+        ev = _fan_scan(s, _t(s, d, "events"), "event_id")
         pii = F.concat(
             F.lit("contact user"),
             F.col("user_id").cast("string"),
@@ -1059,8 +1068,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- similarity search -------------------------------------------------------
     def ann_brute(s, d):
+        # dim=64 (the driver embedding width) unrolls the cosine into
+        # codegen-able arithmetic instead of interpreted HOF lambdas
         emb = _t(s, d, "embeddings")
-        return cosine_topk(emb.where(F.col("vec_id") < 5), emb, k=10)
+        return cosine_topk(emb.where(F.col("vec_id") < 5), emb, k=10, dim=64)
 
     q["ann_cosine_topk"] = ann_brute
 
@@ -1185,7 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from recipys_spark.operators.packing import chunk_documents
 
         return chunk_documents(
-            _t(s, d, "documents").select("doc_id", "text"),
+            _fan_scan(s, _t(s, d, "documents"), "doc_id").select("doc_id", "text"),
             max_tokens=50,
             stride=40,
         )
@@ -1200,7 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def html_extract(s, d):
         from recipys_spark.operators.warc import html_to_text
 
-        docs = _t(s, d, "documents")
+        docs = _fan_scan(s, _t(s, d, "documents"), "doc_id")
         html = F.concat(
             F.lit(
                 "<html><head><title>t</title><style>p{color:red}</style>"
@@ -1240,7 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def para_dedup(s, d):
         from recipys_spark.operators.corpus import dedup_paragraphs
 
-        docs = _t(s, d, "documents").select(
+        docs = _fan_scan(s, _t(s, d, "documents"), "doc_id").select(
             "doc_id",
             F.concat(
                 F.col("text"),
@@ -1262,7 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the testdata parquet is one file → one scan task; fan the
         # shingling out across cores (results are partitioning-
         # independent, so the oracle compare is unaffected)
-        docs = _t(s, d, "documents").repartition(32)
+        docs = _fan_scan(s, _t(s, d, "documents"), "doc_id")
         bench = docs.where(F.col("doc_id") % 17 == 0)
         return ngram_decontaminate(docs, bench, n=5, mode="flag").select(
             "doc_id", "contaminated"
@@ -1304,7 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def hash_encode(s, d):
         from recipys_spark.operators.encode import StepHashEncode
 
-        ev = _t(s, d, "events")
+        ev = _fan_scan(s, _t(s, d, "events"), "event_id")
         rec = Recipe(ev, outcomes=["value"], predictors=["event_type"])
         rec.add_step(StepHashEncode(sel=all_of(["event_type"]), n_features=64))
         return rec.prep().select("event_id", "event_type", "event_type_hash")

@@ -126,6 +126,18 @@ def clean_corpus(
     if not near_dedup:
         return exact
 
+    # Stage barrier (lazy localCheckpoint — the corpus_curate_full
+    # pattern): the exact-deduped corpus is referenced FOUR times below
+    # (the MinHash signature pass, both Jaccard-verify joins, and the
+    # final left_anti), and without a barrier Spark re-executes the
+    # whole annotate→filter→fingerprint-window chain per reference —
+    # the quality/lang expressions are the most expensive scalar work
+    # in the pipeline (measured 6.5 s vs 3.0 s at sf1.0 for the full
+    # clean). At cluster scale the same boundary is a checkpoint /
+    # intermediate table write; the materialization is one pass over
+    # the SURVIVING rows only.
+    exact = exact.localCheckpoint(eager=False)
+
     edges = minhash_lsh_pairs(
         exact,
         text_col=text_col,

@@ -244,6 +244,7 @@ def minhash_lsh_pairs(
     shingle: "int | None" = None,
     hash_family: str = "xxhash64",
     vectorized: bool = False,
+    materialize_tokens: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, Jaccard-verified;
     ``shingle=n`` switches the comparison unit from word tokens to
@@ -272,6 +273,14 @@ def minhash_lsh_pairs(
     docs = _token_sets(df, text_col, id_col, [], shingle).where(
         F.size("__toks") > 0
     )
+    if materialize_tokens:
+        # the token-set frame is referenced THREE times (signatures +
+        # both Jaccard-verify joins); a lazy localCheckpoint barrier
+        # computes the upstream scan+tokenization once instead of three
+        # times (the corpus_curate_full stage-barrier pattern). Pass
+        # False to trade recompute for storage when materializing
+        # (id, tokens) for the whole corpus is too large to hold.
+        docs = docs.localCheckpoint(eager=False)
     if vectorized:
         sig_col = minhash_signature_udf(num_hashes, seed, hash_family)(
             F.col("__toks")
@@ -517,7 +526,7 @@ def embedding_neardup_lsh(
         F.col(id_col).alias("id_b"), F.col(emb_col).alias("__eb"), sig.alias("__sig")
     )
     pairs = a.join(b, "__sig").where(F.col("id_a") < F.col("id_b"))
-    cos = F.round(cosine_expr(F.col("__ea"), F.col("__eb")), 6)
+    cos = F.round(cosine_expr(F.col("__ea"), F.col("__eb"), dim=dim), 6)
     return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
         F.col("cosine") >= threshold
     )

@@ -43,7 +43,22 @@ def norm_expr(a):
     )
 
 
-def cosine_expr(a, b):
+def _dot_unrolled(a, b, dim: int):
+    e = F.lit(0.0)
+    for i in range(dim):
+        e = e + F.get(a, i).cast("double") * F.get(b, i).cast("double")
+    return e
+
+
+def _norm_unrolled(a, dim: int):
+    e = F.lit(0.0)
+    for i in range(dim):
+        x = F.get(a, i).cast("double")
+        e = e + x * x
+    return e
+
+
+def cosine_expr(a, b, dim: "Optional[int]" = None):
     # try_divide: a zero-norm vector yields NULL cosine (sorts LAST in
     # the descending top-k) instead of raising under ANSI mode (Spark 4
     # default) or yielding NaN. nanvl: a NaN ELEMENT inside a vector
@@ -51,10 +66,32 @@ def cosine_expr(a, b):
     # every real double, so without the guard one poisoned corpus row
     # becomes the rank-1 neighbor of every query. Both guards match
     # cosine_udf (denom > 0 is False for NaN → NULL) exactly.
-    return F.nanvl(
+    #
+    # ``dim``: when the embedding width is known, the dot/norm sums are
+    # UNROLLED into plain arithmetic — zip_with/aggregate higher-order
+    # lambdas are interpreted per element per row (no whole-stage
+    # codegen) and dominated the brute/rescore tiers at bench scale.
+    # The unrolled tree keeps the identical left-to-right accumulation
+    # (same initial 0.0, same element order), so every double is
+    # bit-identical; rows whose arrays are not exactly ``dim`` wide
+    # (ragged data) fall back to the HOF form per row, preserving the
+    # old padding/NULL semantics exactly.
+    slow = F.nanvl(
         F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b)),
         F.lit(None).cast("double"),
     )
+    if dim is None:
+        return slow
+    fast = F.nanvl(
+        F.try_divide(
+            _dot_unrolled(a, b, dim),
+            F.sqrt(_norm_unrolled(a, dim)) * F.sqrt(_norm_unrolled(b, dim)),
+        ),
+        F.lit(None).cast("double"),
+    )
+    return F.when(
+        (F.size(a) == F.lit(dim)) & (F.size(b) == F.lit(dim)), fast
+    ).otherwise(slow)
 
 
 def cosine_udf():
@@ -124,6 +161,7 @@ def cosine_topk(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     max_pairs: Optional[int] = BRUTE_PAIR_BUDGET,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank), self-matches excluded,
     deterministic tie-break by neighbor id.
@@ -148,7 +186,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("__qe"), F.col("__ce")), 6).alias("cosine"),
+            F.round(
+                cosine_expr(F.col("__qe"), F.col("__ce"), dim=dim), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -408,7 +448,7 @@ def lsh_cosine_topk(
     rescore = (
         cosine_udf()(F.col("__qe"), F.col("__ce"))
         if vectorized
-        else cosine_expr(F.col("__qe"), F.col("__ce"))
+        else cosine_expr(F.col("__qe"), F.col("__ce"), dim=dim)
     )
     scored = (
         q.join(c, "__bucket")
@@ -609,7 +649,9 @@ def ivf_cosine_topk(
     rescore = (
         cosine_udf()(F.col("__qe"), F.col("__ce"))
         if vectorized
-        else cosine_expr(F.col("__qe"), F.col("__ce"))
+        else cosine_expr(
+            F.col("__qe"), F.col("__ce"), dim=len(centroids[0])
+        )
     )
     scored = (
         q.join(c, "__cell")
