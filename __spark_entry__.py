@@ -231,7 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["impute_ffill_limit"] = ffill_limit
 
     def fill_group_mean(s, d):
-        ev = _events_with_nulls(s, d)
+        ev = _fan_scan(s, _events_with_nulls(s, d), "user_id")
         rec = Recipe(ev, predictors=["value_n"], groups="user_id", sequences="ts")
         rec.add_step(StepImputeFill(sel=all_of(["value_n"]), strategy="mean"))
         return rec.prep().select(
@@ -456,7 +456,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         # exercise StepResampling's accumulator map: one source column
         # duplicated under three names, each with its own Accumulator
-        ev = _events_with_nulls(s, d).select(
+        # fan by the group key: each (user, bucket) group then lands
+        # whole in one partition, so the map-side partial aggregation
+        # is final and the agg exchange carries only group rows
+        ev = _fan_scan(s, _events_with_nulls(s, d), "user_id").select(
             "user_id",
             "ts",
             F.col("value_n").alias("n"),
@@ -1504,7 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bpe_real(s, d):
         from recipys_spark.operators.bpe import bpe_token_count, train_bpe
 
-        docs = _t(s, d, "documents")
+        docs = _fan_scan(s, _t(s, d, "documents"), "doc_id")
         merges = train_bpe(docs, num_merges=60)
         return bpe_token_count(docs, merges).select("doc_id", "text_n_bpe")
 

@@ -423,6 +423,13 @@ def parse_jpeg_meta(payload: bytes) -> tuple:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # spec-legal fill bytes: any number of 0xFF padding bytes may
+        # precede a marker; skip them so the byte after the padding is
+        # read as the marker, not the padding itself (ADVICE r6)
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            break
         marker = payload[pos + 1]
         pos += 2
         if marker == 0x01 or 0xD0 <= marker <= 0xD9:

@@ -154,6 +154,15 @@ def recommend_pipeline_config(
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         for row, s in zip(step_rows, steps):
             if row["skew_capable"] and row["skew_bucket_size"] is not None:
+                # respect an explicit hand-chosen setting: a step whose
+                # skew_bucket_size is already set and NOT auto-tagged was
+                # configured by the user — leave it and say so in the
+                # report instead of silently replacing it (ADVICE r6)
+                if getattr(s, "skew_bucket_size", None) is not None and not getattr(
+                    s, "_auto_skew_assigned", False
+                ):
+                    row["skew_bucket_kept_user_value"] = s.skew_bucket_size
+                    continue
                 s.skew_bucket_size = row["skew_bucket_size"]
                 s._auto_skew_assigned = False  # hand-chosen precedence
         out["applied"] = True

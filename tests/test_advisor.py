@@ -80,3 +80,31 @@ def test_groupless_recipe_reports_rows_only(spark, turns):
     cfg = recommend_pipeline_config(df, rec)
     assert set(cfg["stats"]) == {"total_rows"}
     assert cfg["steps"][0]["skew_capable"] is False
+
+
+def test_apply_respects_hand_set_bucket_size(spark, turns):
+    """ADVICE r6: apply=True must not overwrite a user's explicit
+    (untagged) skew_bucket_size — it keeps the value and reports it."""
+    df = turns.select("conv_id", "ts", "value")
+    rec = Recipe(
+        df, predictors=["value"], groups="conv_id", sequences="ts"
+    ).add_step(
+        StepHistorical(
+            sel=all_of(["value"]), fun=Accumulator.MEAN, skew_bucket_size=777
+        )
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        old = Recipe.AUTO_SKEW_SALT_ABOVE
+        Recipe.AUTO_SKEW_SALT_ABOVE = 1
+        try:
+            cfg = recommend_pipeline_config(
+                df, rec, apply=True, target_rows_per_partition=100
+            )
+        finally:
+            Recipe.AUTO_SKEW_SALT_ABOVE = old
+        assert cfg["applied"] is True
+        assert rec.steps[0].skew_bucket_size == 777
+        assert cfg["steps"][0]["skew_bucket_kept_user_value"] == 777
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

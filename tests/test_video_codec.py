@@ -216,3 +216,21 @@ def test_parse_png_meta_truncated_raises_valueerror():
     truncated = PNG_MAGIC + b"\x00\x00\x00\x0dIHDR" + b"\x00" * 9  # 25 bytes
     with pytest.raises(ValueError, match="PNG"):
         parse_png_meta(truncated)
+
+
+def test_parse_jpeg_meta_skips_fill_bytes():
+    """ADVICE r6: spec-legal 0xFF fill (padding) bytes before a marker
+    must be skipped, not read AS the marker — a real-world JPEG with
+    padding otherwise unpacks a bogus segment length and derails."""
+    import struct
+
+    from recipys_spark.operators.multimodal import parse_jpeg_meta
+
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + 6) + struct.pack(
+        ">BHHB", 8, 7, 9, 3
+    )
+    # SOI, an APP0 segment padded with three fill 0xFF bytes before the
+    # next marker, then SOF0
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+    payload = b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof + b"\xff\xd9"
+    assert parse_jpeg_meta(payload) == (9, 7, 3)
