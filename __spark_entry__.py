@@ -118,9 +118,28 @@ def _fan_scan(spark: SparkSession, df: DataFrame, *keys: str) -> DataFrame:
     inputs with many row groups/files fan naturally and skip the extra
     exchange (one small shuffle of the input only where the
     alternative is a serial stage). Results are partitioning-invariant
-    everywhere this is used."""
+    everywhere this is used.
+
+    Size floor: below ~4 MB of input (env
+    ``SPARK_GRAFT_FAN_MIN_BYTES``) the exchange's fixed cost rivals
+    the serial compute it would save on ANY cluster, so tiny inputs
+    (the sf0.01/0.1 correctness tables) skip the fan — measured +0.2 s
+    per query at sf0.1 without the floor, pure overhead."""
+    import os as _os
+
     n = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
+        return df
+    min_bytes = int(
+        float(_os.environ.get("SPARK_GRAFT_FAN_MIN_BYTES", str(4 * 1024**2)))
+    )
+    try:
+        paths = [p[len("file:"):] if p.startswith("file:") else p
+                 for p in df.inputFiles()]
+        total = sum(_os.path.getsize(p) for p in paths if _os.path.exists(p))
+    except Exception:
+        total = None  # non-file source: fan on partition count alone
+    if total is not None and 0 < total < min_bytes:
         return df
     return df.repartition(n, *[F.col(k) for k in keys])
 
@@ -997,8 +1016,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_features"] = text_features
 
+    # no fan: the groupBy exchange already exists and the explode is
+    # cheap — fanning measured flat at sf1.0 and +0.24 s at sf0.1
     def token_histogram(s, d):
-        docs = _fan_scan(s, _t(s, d, "documents"), "doc_id")
+        docs = _t(s, d, "documents")
         return (
             docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
             .groupBy("token")

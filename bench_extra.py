@@ -24,6 +24,59 @@ import __spark_entry__ as entrymod
 from recipys_spark.sources.io import get_spark
 
 
+def bake_advisor(spark, repeats: int) -> None:
+    """VERDICT r6 #6: exercise plans/advisor.recommend_pipeline_config
+    end-to-end at bench scale — the SAME flagship bake bench.py times,
+    with and without advisor-applied sizing, on the same transcripts
+    parquet. bench.py is frozen, so the comparison row lives here and
+    is cited in OPTIMIZATION_r07.md / BENCH.md."""
+    import json as _json
+
+    from bench import BENCH_CONVS, bake_recipe, materialize, timed_walls
+    from recipys_spark.plans.advisor import recommend_pipeline_config
+
+    tdir = f"/tmp/recipys_bench_transcripts_{BENCH_CONVS}"
+    if not os.path.exists(tdir):
+        from recipys_spark.sources.io import synthetic_transcripts
+
+        synthetic_transcripts(
+            spark, n_convs=BENCH_CONVS, skew=True, skew_factor=100,
+            with_features=True,
+        ).write.mode("overwrite").parquet(tdir)
+    tdf = spark.read.parquet(tdir)
+    materialize(bake_recipe(tdf))  # untimed warmup (bench.py protocol)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    default_walls = timed_walls(lambda: bake_recipe(tdf), repeats=repeats)
+
+    def advisor_bake():
+        from bench import (
+            Accumulator, Recipe, StepHistorical, StepImputeFill, StepLag,
+            StepSessionize, all_of,
+        )
+
+        rec = (
+            Recipe(
+                tdf, predictors=["value", "n_chars"], groups="conv_id",
+                sequences=["turn_idx", "ts"],
+            )
+            .add_step(StepHistorical(sel=all_of(["value"]), fun=Accumulator.MEAN))
+            .add_step(StepHistorical(sel=all_of(["n_chars"]), fun=Accumulator.MAX))
+            .add_step(StepImputeFill(sel=all_of(["value"]), strategy="forward"))
+            .add_step(StepLag(sel=all_of(["value"]), lags=(1,)))
+            .add_step(StepSessionize(gap="30m"))
+        )
+        recommend_pipeline_config(tdf, rec, apply=True)
+        return rec.prep()
+
+    advisor_walls = timed_walls(advisor_bake, repeats=repeats)
+    spark.conf.set("spark.sql.shuffle.partitions", before)
+    print(_json.dumps({
+        "bake_default_walls": default_walls,
+        "bake_advisor_walls": advisor_walls,
+        "shuffle_partitions_default": before,
+    }))
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     plans = "--plans" in args
@@ -43,6 +96,10 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/events.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
+    if "--bake-advisor" in args:
+        bake_advisor(spark, repeats)
+        spark.stop()
+        return
     queries = entrymod.queries()
     out = {}
     os.makedirs("plans/r07", exist_ok=True)

@@ -181,11 +181,13 @@ def _collected_pool_fill(
     m = len(pool_rows)
     d = len(feats)
     P = np.full((m, d), np.nan, dtype=np.float64)
-    dids = np.empty(m, dtype=np.int64)
+    # ids keep their natural dtype (int64 for longs, unicode/object for
+    # string ids) — lexsort and != both honor it, matching the join
+    # tier's (dist², donor_id) order for any orderable id type
+    dids = np.array([row["__did"] for row in pool_rows])
     dvals = np.empty(m, dtype=np.float64)
     dsigs = np.empty(m, dtype=np.int64) if psig_col is not None else None
     for i, row in enumerate(pool_rows):
-        dids[i] = row["__did"]
         dvals[i] = row["__dval"]
         if dsigs is not None:
             dsigs[i] = row["__dsig"]

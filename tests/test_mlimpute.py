@@ -513,3 +513,61 @@ def test_knn_lsh_bucket_cap_bounds_hot_buckets(spark):
             first = capped
         else:
             assert capped == first  # partitioning-invariant under the cap
+
+
+def test_knn_capped_pool_tier_matches_join_plan_exactly(spark):
+    """Round-7 optimization: a bounded pool_cap routes both KNN tiers
+    through the collected-pool Arrow path (_collected_pool_fill). With
+    a cap that covers every donor, the candidate set is identical to
+    the unbounded join plan, so the output must be BIT-identical —
+    pinning the numpy mirrors (dist², (dist², id) order, scale-18
+    integer neighbor means) against the JVM expression plan."""
+    rng = np.random.RandomState(23)
+    X = rng.normal(10, 4, size=(200, 3))
+    X[rng.rand(200) < 0.3, 1] = np.nan
+    X[rng.rand(200) < 0.1, 0] = np.nan  # nan-euclidean partial overlap
+    df, cols = _to_spark(spark, X)
+
+    def vals(out):
+        return out.orderBy("rid").toPandas()["x1"].to_numpy()
+
+    join_plan = vals(
+        knn_impute_join(df, cols, target_col="x1", id_col="rid", n_neighbors=4)
+    )
+    arrow_pool = vals(
+        knn_impute_join(
+            df, cols, target_col="x1", id_col="rid", n_neighbors=4,
+            pool_cap=100_000,
+        )
+    )
+    assert (join_plan == arrow_pool).all()  # bit-exact
+
+
+def test_knn_lsh_capped_pool_tier_matches_join_plan_exactly(spark):
+    """Same pin for the LSH tier: pool_cap ⇒ collected-pool Arrow path
+    with the per-row multiprobe bucket filter; cap covering all donors
+    ⇒ identical shortlist ⇒ bit-identical output vs the bucket-join
+    plan (pool_cap=None)."""
+    from recipys_spark.operators.mlimpute import knn_impute_lsh
+
+    rng = np.random.RandomState(29)
+    X = rng.normal(0, 3, size=(180, 3))
+    X[rng.rand(180) < 0.25, 0] = np.nan
+    df, cols = _to_spark(spark, X)
+
+    def vals(out):
+        return out.orderBy("rid").toPandas()["x0"].to_numpy()
+
+    a = vals(
+        knn_impute_lsh(
+            df, cols, target_col="x0", id_col="rid", n_neighbors=3,
+            n_planes=3,
+        )
+    )
+    b = vals(
+        knn_impute_lsh(
+            df, cols, target_col="x0", id_col="rid", n_neighbors=3,
+            n_planes=3, pool_cap=100_000,
+        )
+    )
+    assert (a == b).all()  # bit-exact
