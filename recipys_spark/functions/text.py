@@ -79,10 +79,26 @@ def punct_ratio(col) -> "F.Column":
 
 
 def stopword_count(col, lang: str) -> "F.Column":
+    """Tokens from the per-language stopword list, with multiplicity.
+
+    Implemented as ONE codegen-able ``regexp_count`` over the
+    space-joined token array instead of an interpreted higher-order
+    ``filter(tokens, isin)`` pass (HOF lambdas evaluate per element per
+    row with no whole-stage codegen — five of these per row made the
+    annotate/quality tier the hottest scalar work in the corpus
+    pipeline). Exact-equality argument: ``tokens()`` splits on ``\\s+``
+    so no token contains a space; bordering the joined string with
+    single spaces makes "token ∈ list" ⟺ one match of
+    ``(?<= )(?:w1|w2|…)(?= )`` anchored at that token (non-consuming
+    lookarounds count adjacent hits; alternation backtracks through
+    prefix-shadowed words like le/les until the boundary fits, and a
+    match can only start at a token start because of the lookbehind).
+    The DuckDB oracle keeps its independent list_filter mirror, so the
+    driver hash-gate cross-checks this rewrite on every run."""
     words = STOPWORDS[lang]
-    return F.size(
-        F.filter(tokens(col), lambda t: t.isin(*words))
-    )
+    joined = F.concat(F.lit(" "), F.array_join(tokens(col), " "), F.lit(" "))
+    pat = "(?<= )(?:" + "|".join(words) + ")(?= )"
+    return F.regexp_count(joined, F.lit(pat))
 
 
 def stopword_ratio(col, lang: str = "en") -> "F.Column":

@@ -323,38 +323,49 @@ def chunk_documents(
     # whitespace-only docs would emit one phantom empty chunk and
     # leading-whitespace docs would count a ghost first token
     toks = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
-    n = F.size(toks)
-    # chunk starts: 0, stride, 2*stride, ... while start < n; the last
-    # chunk may be short
-    n_chunks = F.when(
-        n > 0, F.ceil((F.greatest(n - max_tokens, F.lit(0))) / F.lit(stride)) + 1
-    ).otherwise(F.lit(0))
     others = [c for c in df.columns if c != text_col]
-    return (
-        df.select(*others, toks.alias("__toks"), n_chunks.alias("__nc"))
-        .where(F.col("__nc") > 0)
-        .select(
-            *others,
-            F.explode(
-                F.sequence(F.lit(0), (F.col("__nc") - 1).cast("int"))
-            ).alias("chunk_idx"),
-            "__toks",
+
+    # Bind the token array as a HOF lambda variable (the
+    # ngram_decontaminate pattern) so the split/lower/trim/filter chain
+    # evaluates ONCE per document: the alias-then-explode-then-slice
+    # form was collapsed by Catalyst into projections that re-evaluated
+    # the full tokenization four times per doc (interpreted HOFs get no
+    # cross-expression subexpression elimination) — measured 1.2 s vs
+    # 0.3 s at sf1.0. Each chunk is a (text, n_tokens) struct; a NULL
+    # or empty token array yields a NULL chunk list, and posexplode of
+    # NULL drops the row — exactly the old `where(__nc > 0)` behavior.
+    def chunks_of(t):
+        n = F.size(t)
+        # chunk starts: 0, stride, 2*stride, ... while start < n; the
+        # last chunk may be short
+        nc = (
+            F.ceil((F.greatest(n - max_tokens, F.lit(0))) / F.lit(stride)) + 1
         )
-        .select(
-            *others,
-            "chunk_idx",
-            F.array_join(
-                F.slice(
-                    F.col("__toks"),
-                    F.col("chunk_idx") * stride + 1,
-                    max_tokens,
+        return F.transform(
+            F.sequence(F.lit(0), (nc - 1).cast("int")),
+            lambda i: F.struct(
+                F.array_join(
+                    F.slice(t, i * F.lit(stride) + 1, max_tokens), " "
+                ).alias("chunk_text"),
+                F.least(n - i * F.lit(stride), F.lit(max_tokens)).alias(
+                    "chunk_n_tokens"
                 ),
-                " ",
-            ).alias("chunk_text"),
-            F.least(
-                F.size("__toks") - F.col("chunk_idx") * stride, F.lit(max_tokens)
-            ).alias("chunk_n_tokens"),
+            ),
         )
+
+    carr = F.get(
+        F.transform(
+            F.array(toks), lambda t: F.when(F.size(t) > 0, chunks_of(t))
+        ),
+        F.lit(0),
+    )
+    return df.select(
+        *others, F.posexplode(carr).alias("chunk_idx", "__c")
+    ).select(
+        *others,
+        "chunk_idx",
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.chunk_n_tokens").alias("chunk_n_tokens"),
     )
 
 
