@@ -182,7 +182,7 @@ def _collected_pool_fill(
     d = len(feats)
     P = np.full((m, d), np.nan, dtype=np.float64)
     # ids keep their natural dtype (int64 for longs, unicode/object for
-    # string ids) — lexsort and != both honor it, matching the join
+    # string ids) — argsort and == both honor it, matching the join
     # tier's (dist², donor_id) order for any orderable id type
     dids = np.array([row["__did"] for row in pool_rows])
     dvals = np.empty(m, dtype=np.float64)
@@ -195,6 +195,15 @@ def _collected_pool_fill(
             v = row[f"__d_{c}"]
             if v is not None:
                 P[i, j] = float(v)
+    # Pre-sort the pool by donor id: a STABLE argsort on the distance
+    # row then breaks ties by pool position = ascending donor id —
+    # exactly the join tier's (dist², donor_id) window order — so the
+    # whole chunk's neighbor ranking is one vectorized argsort instead
+    # of a per-row lexsort.
+    by_id = np.argsort(dids, kind="stable")
+    P, dids, dvals = P[by_id], dids[by_id], dvals[by_id]
+    if dsigs is not None:
+        dsigs = dsigs[by_id]
     k = int(n_neighbors)
     # Pre-quantize each donor value ONCE to a scale-18 integer (exact:
     # the same HALF_UP quantize _exact_mean applies per element). A
@@ -241,20 +250,30 @@ def _collected_pool_fill(
             for lo in range(0, len(miss), chunk):
                 rows = miss[lo : lo + chunk]
                 D2 = _dist2_numpy(X[rows], P)
+                # invalidate non-candidates as +inf (legit +inf rows —
+                # npres == 0 — are excluded either way), then ONE stable
+                # argsort per chunk ranks by (dist², donor id)
+                D2[~np.isfinite(D2)] = np.inf
+                D2[dids[None, :] == ids[rows][:, None]] = np.inf
+                if psig is not None:
+                    am = np.concatenate(
+                        [
+                            psig[rows][:, None],
+                            psig[rows][:, None] ^ probe_bits[None, :],
+                        ],
+                        axis=1,
+                    )
+                    sig_ok = (dsigs[None, :, None] == am[:, None, :]).any(-1)
+                    D2[~sig_ok] = np.inf
+                order = np.argsort(D2, axis=1, kind="stable")
+                nval = np.isfinite(D2).sum(axis=1)
                 for ri, r in enumerate(rows):
-                    ok = np.isfinite(D2[ri]) & (dids != ids[r])
-                    if psig is not None:
-                        allowed = np.concatenate(
-                            ([psig[r]], psig[r] ^ probe_bits)
-                        )
-                        ok &= np.isin(dsigs, allowed)
-                    cand = np.where(ok)[0]
-                    if len(cand) == 0:
+                    nv = int(nval[ri])
+                    if nv == 0:
                         if cmean is not None:
                             tcol[r] = cmean
                         continue
-                    order = np.lexsort((dids[cand], D2[ri, cand]))
-                    take = cand[order[:k]]
+                    take = order[ri, : min(k, nv)]
                     tot = 0
                     for t in take:
                         tot += dq[t]
