@@ -280,6 +280,76 @@ class StepHistorical(Step):
         ]
         return df.select("*", *exprs)
 
+    def _median_batched(self, df, groups, seq_cols, cols, out_schema):
+        """Partition-batched exact expanding median: hash-repartition by
+        the group columns (all rows of a group land in one partition —
+        the same exchange groupBy/applyInArrow would pay), then ONE
+        ``mapInArrow`` call per partition instead of one Python call
+        per group. With ~67-row groups the per-group dispatch (Arrow
+        IPC framing + function call + schema checks) dominated the
+        Arrow median path; batching runs one pyarrow sort and, per
+        value column, one C-level grouped expanding median
+        (``Series.groupby(gids).expanding().median()`` — a single
+        cython pass over the whole partition) for all groups at once.
+
+        Exactness: the partition table is sorted by (groups, sequence)
+        with ``null_placement="at_start"`` — the same asc_nulls_first
+        order as the window mirror — and group ids come from null-safe
+        (and NaN-safe, matching Spark's groupBy NaN normalization)
+        boundary comparisons on the ARROW side, so group keys never
+        round-trip through pandas (no int64→float64 coercion above
+        2^53). Only the selected value columns are materialized as
+        pandas Series, exactly like the per-group path. Per-group
+        order, NaN→NULL normalization and the skiplist expanding
+        median are unchanged, so results are bit-identical
+        (parity-pinned against the window-percentile mirror)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from pyspark.sql import types as T
+
+        suffix = self.suffix
+        sort_keys = [(c, "ascending") for c in list(groups) + list(seq_cols)]
+        float_groups = {
+            f.name
+            for f in df.schema
+            if f.name in groups and isinstance(f.dataType, (T.FloatType, T.DoubleType))
+        }
+
+        def per_partition(batches):
+            batches = [b for b in batches if b.num_rows]
+            if not batches:
+                return
+            tbl = pa.Table.from_batches(batches)
+            tbl = tbl.sort_by(sort_keys, null_placement="at_start")
+            n = tbl.num_rows
+            change = np.zeros(n, dtype=bool)
+            for g in groups:
+                col = tbl.column(g).combine_chunks()
+                a, b = col.slice(1), col.slice(0, n - 1)
+                eq = pc.fill_null(pc.equal(a, b), False)
+                both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+                same = pc.or_(eq, both_null)
+                if g in float_groups:
+                    # Spark groups NaN keys together; Arrow NaN != NaN
+                    both_nan = pc.and_(
+                        pc.fill_null(pc.is_nan(a), False),
+                        pc.fill_null(pc.is_nan(b), False),
+                    )
+                    same = pc.or_(same, both_nan)
+                change[1:] |= np.invert(same.to_numpy(zero_copy_only=False))
+            gids = np.cumsum(change)
+            for c in cols:
+                s = tbl.column(c).to_pandas()
+                med = s.groupby(gids).expanding().median().to_numpy()
+                # NaN (empty expanding window) → Arrow NULL, matching
+                # the window-percentile path and the SQL oracles
+                arr = pa.array(med, type=pa.float64(), mask=np.isnan(med))
+                tbl = tbl.append_column(f"{c}_{suffix}", arr)
+            yield from tbl.to_batches()
+
+        return df.repartition(*groups).mapInArrow(per_partition, schema=out_schema)
+
     def _median_apply_in_pandas(self, df, groups, seq):
         """Exact expanding median via Arrow-batched applyInPandas
         (SURVEY.md §7 hard parts): the window ``percentile`` recomputes
@@ -313,17 +383,34 @@ class StepHistorical(Step):
                 res[f"{c}_{suffix}"] = pdf[c].expanding().median()
             return res
 
-        meds = narrow.groupBy(*groups).applyInPandas(per_group, schema=out_schema)
-        # pandas emits NaN (not NULL) when the expanding window holds no
-        # non-null values; the window-percentile path and SQL oracles
-        # emit NULL — normalize so both paths are value-identical.
-        fixed = [
-            F.when(~F.isnan(F.col(f"{c}_{suffix}")), F.col(f"{c}_{suffix}")).alias(
-                f"{c}_{suffix}"
+        if groups:
+            # partition-batched path: one Python call per partition
+            # (see _median_batched); NaN→NULL happens via the Arrow
+            # validity mask inside the helper
+            batched_schema = T.StructType(
+                list(narrow.schema)
+                + [T.StructField(f"{c}_{suffix}", T.DoubleType()) for c in cols]
             )
-            for c in cols
-        ]
-        meds = meds.select(*key_cols, *fixed)
+            meds = self._median_batched(
+                narrow, groups, seq_cols, cols, batched_schema
+            ).select(*key_cols, *[f"{c}_{suffix}" for c in cols])
+        else:
+            # a global (ungrouped) expanding median is a single group —
+            # per-group dispatch overhead is irrelevant, keep applyInPandas
+            meds = narrow.groupBy(*groups).applyInPandas(
+                per_group, schema=out_schema
+            )
+            # pandas emits NaN (not NULL) when the expanding window holds
+            # no non-null values; the window-percentile path and SQL
+            # oracles emit NULL — normalize so both paths are
+            # value-identical.
+            fixed = [
+                F.when(
+                    ~F.isnan(F.col(f"{c}_{suffix}")), F.col(f"{c}_{suffix}")
+                ).alias(f"{c}_{suffix}")
+                for c in cols
+            ]
+            meds = meds.select(*key_cols, *fixed)
         # Null-safe join-back: Spark's groupBy/applyInPandas treats NULL
         # group/sequence keys as their own group, so the Arrow path
         # computes their medians too — a plain equi-join (NULL != NULL)
@@ -389,6 +476,11 @@ class StepHistorical(Step):
             list(df.schema)
             + [T.StructField(f"{c}_{suffix}", T.DoubleType()) for c in cols]
         )
+
+        if groups:
+            # partition-batched path: one Python call per partition
+            # instead of one per group (see _median_batched)
+            return self._median_batched(df, groups, seq_cols, cols, out_schema)
 
         def per_group(tbl: "pa.Table") -> "pa.Table":
             tbl = tbl.sort_by(

@@ -190,20 +190,39 @@ def assemble_context(
             F.coalesce(F.col(text_col), F.lit("")).alias("x"),
         )
     ).over(prior)
+    # Materialize the collected-prior array ONCE: referencing `arr`
+    # from each of the three output expressions would re-instantiate
+    # the window expression per withColumn — Catalyst planned THREE
+    # WindowExec collect_list passes, each copying the (c, t, text)
+    # structs into its own sliding buffer (measured in plans/r07/
+    # assemble_context_before.txt, windows 10/12/14).
+    frame = frame.withColumn("__ctx_arr", arr)
     prior_cum = F.col(cum) - F.col(tok)  # running total through turn t-1
     kept = F.filter(
-        arr, lambda s: (prior_cum - (s["c"] - s["t"])) <= F.lit(int(budget))
+        F.col("__ctx_arr"),
+        lambda s: (prior_cum - (s["c"] - s["t"])) <= F.lit(int(budget)),
     )
-    ctx = F.array_join(F.transform(kept, lambda s: s["x"]), sep)
-    n_turns = F.size(kept).cast("long")
-    n_tokens = F.aggregate(
-        kept, F.lit(0).cast("long"), lambda acc, s: acc + s["t"]
+    # Interpreted HOFs get no cross-expression CSE, so bind the kept
+    # suffix once as a lambda variable (the ngram/chunk_documents
+    # pattern) and derive all three outputs inside ONE struct; inline()
+    # is a Generate node, so CollapseProject cannot re-substitute the
+    # filter into each field read. One filter evaluation per row
+    # instead of three.
+    res = F.inline(
+        F.transform(
+            F.array(kept),
+            lambda kept_b: F.struct(
+                F.array_join(
+                    F.transform(kept_b, lambda s: s["x"]), sep
+                ).alias(out_col),
+                F.size(kept_b).cast("long").alias(f"{out_col}_n_turns"),
+                F.aggregate(
+                    kept_b, F.lit(0).cast("long"), lambda acc, s: acc + s["t"]
+                ).alias(f"{out_col}_n_tokens"),
+            ),
+        )
     )
-    out = (
-        frame.withColumn(out_col, ctx)
-        .withColumn(f"{out_col}_n_turns", n_turns)
-        .withColumn(f"{out_col}_n_tokens", n_tokens)
-    )
+    out = frame.select("*", res)
     if keep_pred is not None:
         out = out.where(keep_pred)
     return out.select(

@@ -243,3 +243,56 @@ def test_median_ship_conflicts_with_window_path():
         StepHistorical(
             fun=Accumulator.MEDIAN, median_ship="full", median_via_pandas=False
         )
+
+def test_median_batched_partition_semantics(spark):
+    """The partition-batched median (one mapInArrow call per partition,
+    round 7) must group exactly like Spark's groupBy within a shared
+    partition: NaN float keys are ONE group (Arrow's NaN != NaN must
+    not split them), NULL keys are their own group, and many groups
+    per partition reproduce the window-percentile mirror."""
+    import pandas as pd
+
+    # NOTE: in a float64 pandas column None IS NaN — all three NaN-id
+    # rows form ONE group (Spark's groupBy NaN normalization); (id,
+    # time) stays unique per the engine's ordering-key requirement
+    pdf = pd.DataFrame(
+        {
+            "id": [float("nan"), float("nan"), float("nan"), 1.0, 1.0, 2.0, 2.0, 3.0],
+            "time": [0.0, 1.0, 2.0, 0.0, 1.0, 0.0, 1.0, 0.0],
+            "x1": [4.0, 8.0, 3.0, 10.0, 20.0, 1.0, 5.0, 7.0],
+        }
+    )
+    # coalesce(1): every group shares one partition, exercising the
+    # in-partition boundary detection rather than one-group-per-task
+    sdf = spark.createDataFrame(pdf).coalesce(1)
+
+    def run(**kw):
+        rec = Recipe(
+            sdf, predictors=["x1"], groups="id", sequences="time"
+        ).add_step(
+            StepHistorical(
+                sel=all_numeric_predictors(), fun=Accumulator.MEDIAN, **kw
+            )
+        )
+        return (
+            rec.prep()
+            .toPandas()
+            .sort_values(["id", "time"], na_position="first")
+            .reset_index(drop=True)
+        )
+
+    batched = run()  # default: partition-batched Arrow path
+    window = run(median_via_pandas=False)  # SQL-oracle mirror
+    assert len(batched) == len(pdf)
+    np.testing.assert_allclose(
+        batched["x1_median"].to_numpy(dtype=float),
+        window["x1_median"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
+    # NaN keys grouped together: the NaN group's expanding median at
+    # time=1 is median(4, 8) = 6 — it would be 8.0 if Arrow's
+    # NaN != NaN split each NaN row into its own group
+    nan_rows = batched[batched["id"].isna()].sort_values("time")
+    np.testing.assert_allclose(
+        nan_rows["x1_median"].to_numpy(dtype=float), [4.0, 6.0, 4.0]
+    )
