@@ -16,10 +16,14 @@ Spark mapping:
 - mean/min/max: ``groupBy(groups).agg(...)`` + join-back (one row per
   group; AQE broadcasts it) — NOT an unordered group window, which
   would funnel each group through one WindowExec task (skew)
-- limit=k: a bounded frame alone would miscount null runs, so the
-  null-run length is derived from the row number of the last (next)
-  non-null row — two windows, still no Python in the hot path
-  (SURVEY.md §7 hard parts).
+- limit=k: for small k the donor is simply ``last(c, ignorenulls)``
+  over the bounded ROWS frame [-k, 0] — the donor is in the frame iff
+  its distance is <= k, one window pass. Sliding-frame aggregates
+  replay the O(k) buffer per row, so above ``_LIMIT_FRAME_MAX`` the
+  null-run length is instead derived from the row number of the last
+  (next) non-null row — two window passes, each O(1)/row. Both plans
+  are value-identical; still no Python in the hot path (SURVEY.md §7
+  hard parts).
 - skew_bucket_size: salted two-phase directional fill for skewed
   groups (forward/backward, with or without limit) — functions/skew.py
 """
@@ -37,9 +41,16 @@ from recipys_spark.functions.windows import (
     conv_window,
     expanding,
     following,
+    trailing,
 )
 
 _STRATEGIES = ("forward", "backward", "mean", "min", "max", "zero", "one")
+
+# limit=k fills use one bounded [-k, 0] frame up to this k; Spark
+# replays a sliding frame's O(k) row buffer per row, so past ~32 the
+# two-pass row_number + donor-distance plan (O(1)/row, but one extra
+# WindowExec) wins. Both plans return identical values.
+_LIMIT_FRAME_MAX = 32
 
 
 def ffill_expr(col: str, groups, seq) -> "F.Column":
@@ -191,6 +202,23 @@ class StepImputeFill(Step):
             base = F.first(c, ignorenulls=True).over(following(groups, seq))
         if self.limit is None:
             return F.coalesce(col, base)
+        lim = int(self.limit)
+        if lim <= _LIMIT_FRAME_MAX:
+            # The donor sits in the bounded ROWS frame iff its distance
+            # is <= limit, so one bounded last/first(ignorenulls) IS the
+            # null-run guard — one WindowExec pass instead of the
+            # row_number + donor-distance two-pass plan below (kept for
+            # large limits where replaying the O(k) sliding buffer per
+            # row would cost more than the second pass).
+            if forward:
+                near = F.last(c, ignorenulls=True).over(
+                    trailing(groups, seq, lim)
+                )
+            else:
+                near = F.first(c, ignorenulls=True).over(
+                    conv_window(groups, seq).rowsBetween(0, lim)
+                )
+            return F.coalesce(col, near)
         # Null-run guard: only fill if the donor row is within `limit`
         # rows. rn = position within group; donor_rn = rn of the
         # nearest non-null row in the fill direction.

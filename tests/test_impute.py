@@ -198,3 +198,55 @@ def test_group_stat_fill_null_group_key(spark):
     np.testing.assert_allclose(
         got["x1"].to_numpy(dtype=float), [4.0, 6.0, 8.0, 10.0, 10.0]
     )
+
+
+def test_limit_bounded_frame_equals_two_pass(spark, monkeypatch):
+    """limit=k has two plans (round 7): a bounded [-k, 0] frame for
+    small k and the row_number + donor-distance two-pass plan above
+    _LIMIT_FRAME_MAX. They must be value-identical on null runs that
+    straddle the limit, leading nulls, and group boundaries — in both
+    directions."""
+    import pandas as pd
+
+    from recipys_spark.operators import impute as impute_mod
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 1, 1, 1, 1, 1, 2, 2, 2, 3, 3],
+            "time": [0, 1, 2, 3, 4, 5, 0, 1, 2, 0, 1],
+            # run of 3 nulls (limit=2 fills only the first two forward,
+            # last two backward), a leading null, a group of all nulls
+            "x1": [5.0, None, None, None, 9.0, None, None, 1.0, None, None, None],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+
+    def run(strategy, limit):
+        rec = Recipe(
+            sdf, predictors=["x1"], groups="id", sequences="time"
+        ).add_step(StepImputeFill(sel=all_of(["x1"]), strategy=strategy, limit=limit))
+        return (
+            rec.prep()
+            .toPandas()
+            .sort_values(["id", "time"])
+            .reset_index(drop=True)["x1"]
+            .to_numpy(dtype=float)
+        )
+
+    for strategy in ("forward", "backward"):
+        for limit in (1, 2, 3):
+            bounded = run(strategy, limit)
+            monkeypatch.setattr(impute_mod, "_LIMIT_FRAME_MAX", 0)
+            two_pass = run(strategy, limit)
+            monkeypatch.undo()
+            np.testing.assert_allclose(bounded, two_pass, equal_nan=True)
+            # and both match pandas' groupwise fill-with-limit
+            exp = (
+                pdf.groupby("id")["x1"]
+                .apply(lambda s, st=strategy, li=limit: (
+                    s.ffill(limit=li) if st == "forward" else s.bfill(limit=li)
+                ))
+                .reset_index(drop=True)
+                .to_numpy(dtype=float)
+            )
+            np.testing.assert_allclose(bounded, exp, equal_nan=True)
