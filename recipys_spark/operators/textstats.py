@@ -161,13 +161,32 @@ def gopher_exprs(c) -> "dict":
     )
     n_dup_lines = n_lines - F.size(F.array_distinct(lines))
     line_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
-    dup_chars = F.aggregate(
-        lines,
+    # characters on lines occurring >1 time. The naive form (for each
+    # line, scan `lines` for equals) is O(lines\u00b2) AND \u2014 interpreted
+    # HOFs having no CSE \u2014 re-evaluated the split+trim-filter for
+    # every scanned element. Sort instead: a line is duplicated iff a
+    # sorted neighbor equals it (string equality is binary, so the
+    # per-occurrence length sum is the same multiset sum in any
+    # order). The sorted array is bound ONCE as a lambda variable (the
+    # ngram/chunk_documents binding pattern); F.get returns NULL out
+    # of bounds, and NULL == x is NULL \u2192 falsy in `when`, so the
+    # boundary rows need no special case.
+    dup_chars = F.get(
+        F.transform(
+            F.array(F.array_sort(lines)),
+            lambda sl: F.aggregate(
+                F.transform(
+                    sl,
+                    lambda x, i: F.when(
+                        (x == F.get(sl, i - 1)) | (x == F.get(sl, i + 1)),
+                        F.length(x),
+                    ).otherwise(0),
+                ),
+                F.lit(0),
+                lambda a, v: a + v,
+            ),
+        ),
         F.lit(0),
-        lambda a, x: a
-        + F.when(
-            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
-        ).otherwise(0),
     )
 
     def ratio(num, den):
@@ -201,11 +220,11 @@ def gopher_signals(df, text_col: str = "text", id_col: str = "doc_id"):
       lines (listicle / truncation smells);
     - ``dup_line_frac`` — duplicated non-empty lines / lines;
     - ``dup_line_char_frac`` — characters inside lines that occur more
-      than once / total line characters. NOTE: computed with a
-      per-line membership scan (O(lines²) interpreted HOF per doc) —
-      fine for typical documents (≪10³ lines); route pathological
-      inputs through a pandas_udf if a corpus has megascale line
-      counts.
+      than once / total line characters. Computed over the SORTED line
+      array (duplicated ⟺ a sorted neighbor is equal): O(lines log
+      lines) per document, with the sorted array bound once as a
+      lambda variable so the interpreted HOF never re-evaluates the
+      split.
 
     Ratios are NULL when the denominator is 0 (no words / no lines).
     """

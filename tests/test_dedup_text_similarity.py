@@ -502,6 +502,27 @@ def test_gopher_signals_flag_repetitive_doc(spark):
     assert out.dup_line_frac[1] == 0.9 and out.dup_line_char_frac[1] == 1.0
 
 
+def test_gopher_dup_chars_nonadjacent_duplicates(spark):
+    """dup_line_char_frac is computed over the SORTED line array
+    (round 7: duplicated ⟺ a sorted neighbor is equal, replacing the
+    O(lines²) membership scan) — duplicates that are far apart in
+    document order, interleaved uniques, and a line duplicated 3×
+    must all count every occurrence, exactly as the naive multiset
+    rule does."""
+    from recipys_spark.operators.textstats import gopher_signals
+
+    lines = ["dup", "aaa", "bb", "dup", "c", "bb", "dup", "", "  "]
+    text = "\n".join(lines)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": [text]}))
+    row = gopher_signals(df).collect()[0]
+    kept = [l for l in lines if l.strip()]
+    dup_chars = sum(len(l) for l in kept if kept.count(l) > 1)
+    assert row.dup_line_char_frac == round(dup_chars / sum(map(len, kept)), 6)
+    assert row.dup_line_frac == round(
+        (len(kept) - len(set(kept))) / len(kept), 6
+    )
+
+
 def test_scrub_pii_and_dedupe_lines(spark):
     from recipys_spark.functions.text import dedupe_lines, scrub_pii
 
